@@ -1,0 +1,144 @@
+"""Connected components for coreferent-entity canonicalization.
+
+Not present in the reference (its call resolution links each call to one
+definition); required by the north star to merge coreferent entity surface
+forms ("Entity_5" / "E5" / "Entity-5") into one canonical node.
+
+Algorithm: iterative min-label propagation over the undirected alias graph
+— each vertex repeatedly adopts min(own label, neighbors' labels) until a
+fixpoint. Alias graphs have tiny diameter (alias -> canonical chains of
+length ≤ 3), so this converges in a handful of joins; for adversarial
+long-chain graphs the large-star/small-star variant (Kiveris et al.;
+see BTS, ICDE 2024 in PAPERS.md) bounds rounds at O(log n) — the hook
+below (``max_iter``) is where that swap lands.
+
+Scale notes: each iteration is one shuffle keyed on vertex id;
+``localCheckpoint`` cuts the lineage so plans stay flat; convergence is
+detected with an aggregate (no collect of vertex data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """edges(src, dst) -> (vertex, component) with component = min vertex id
+    (string min) reachable in the undirected graph. Isolated vertices absent
+    from `edges` are absent from the output (join back if needed)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .dropDuplicates(["vertex"])
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # candidate labels flowing along edges: neighbor's current component
+        neigh = (
+            sym.join(labels.withColumnRenamed("vertex", "b")
+                           .withColumnRenamed("component", "nbr_comp"), "b")
+            .groupBy("a").agg(F.min("nbr_comp").alias("min_nbr"))
+            .withColumnRenamed("a", "vertex")
+        )
+        new_labels = (
+            labels.join(neigh, "vertex", "left")
+            .select("vertex",
+                    F.least("component", F.coalesce("min_nbr", "component"))
+                     .alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+NORM_KEY_SQL = "regexp_replace(lower(name), '[^a-z0-9]', '')"
+
+
+def coreference_edges(
+    registry: DataFrame,
+    linked: DataFrame | None = None,
+    alias_dict: DataFrame | None = None,
+) -> DataFrame:
+    """Build the coreference graph over the ENTITY DIMENSION (small —
+    vocabulary-scale, never the 10^12-row fact table).
+
+    Three deterministic signal sources:
+    1. alias dictionary (alias -> canonical), the ImportMap analogue;
+    2. normalized-surface-form blocking: names identical after
+       lower + strip non-alphanumerics ("Entity_63" ~ "Entity-63") —
+       a deterministic blocking key, the exact-clustering complement of
+       MinHash-LSH (which operators/dedup.py provides for the scale path);
+    3. fuzzy matches from stage-3 linking (n-gram Jaccard top-1).
+    """
+    from pyspark.sql import Window
+
+    names = registry.select("name")
+    if linked is not None:
+        names = names.unionByName(linked.select("name"))
+    names = names.dropDuplicates(["name"])
+
+    # star edges within each normalized-key block: name -> min(name)
+    normed = names.withColumn("nkey", F.expr(NORM_KEY_SQL))
+    w = Window.partitionBy("nkey")
+    norm_edges = (
+        normed.withColumn("rep", F.min("name").over(w))
+        .filter(F.col("name") != F.col("rep"))
+        .select(F.col("name").alias("src"), F.col("rep").alias("dst"))
+    )
+
+    parts = [norm_edges]
+    if alias_dict is not None:
+        parts.append(alias_dict.select(F.col("alias").alias("src"),
+                                       F.col("canonical_name").alias("dst")))
+    if linked is not None:
+        parts.append(
+            linked.filter(F.col("stage") == "fuzzy")
+            .select(F.col("name").alias("src"), F.col("canonical_name").alias("dst"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def canonical_entities(
+    registry: DataFrame,
+    linked: DataFrame | None = None,
+    alias_dict: DataFrame | None = None,
+) -> DataFrame:
+    """(name, canonical) for every known surface form; canonical = min name
+    of the coreference component (deterministic total-order representative,
+    replacing the reference's array-order pick, call-processor.ts:228,259).
+    """
+    edges = coreference_edges(registry, linked, alias_dict)
+    comp = connected_components(edges)
+    all_names = registry.select("name")
+    if linked is not None:
+        all_names = all_names.unionByName(linked.select("name"))
+    all_names = all_names.dropDuplicates(["name"])
+    return (
+        all_names.join(comp.withColumnRenamed("vertex", "name"), "name", "left")
+        .select("name", F.coalesce("component", "name").alias("canonical"))
+    )

@@ -1,0 +1,145 @@
+"""Pass 1b — structure graph: Corpus / Domain / Section / Page + CONTAINS.
+
+Web retarget of GitNexus's StructureProcessor
+(reference src/core/ingestion/structure-processor.ts:55-255):
+Project -> Corpus, Folder -> Domain(host) + Section(path prefix),
+File -> Page(url). The reference synthesizes intermediate directories from
+file paths (structure-processor.ts:87-127 ``categorizePaths``); here the
+same inference runs as a single Catalyst expression chain:
+split the URL path, posexplode cumulative prefixes, dedupe.
+
+Everything is built-in DataFrame ops — no UDFs, fully codegen'd, and the
+only shuffles are the two ``dropDuplicates`` (hash aggregates), keyed on
+the node id so they partition evenly at 10^12-page scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ids import edge_id, node_id
+
+CORPUS_NAME = "corpus"
+
+HOST_RE = r"^[a-z]+://([^/]+)"
+PATH_RE = r"^[a-z]+://[^/]+(/.*)$"
+
+
+def structure_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """pages(url, ...) -> (nodes, edges) of the containment hierarchy.
+
+    nodes: (id, label, name, url)   — url only set for Page nodes
+    edges: (id, type, src, dst)     — type = CONTAINS
+    """
+    p = pages.select(
+        "url",
+        F.regexp_extract("url", HOST_RE, 1).alias("host"),
+        F.regexp_extract("url", PATH_RE, 1).alias("path"),
+    )
+
+    corpus_id = F.md5(F.concat_ws("|", F.lit("Corpus"), F.lit(CORPUS_NAME)))
+
+    # Page nodes
+    page_nodes = p.select(
+        node_id("Page", F.col("url")).alias("id"),
+        F.lit("Page").alias("label"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("url"),
+    )
+
+    # Domain nodes (dedup on host)
+    domain_nodes = (
+        p.select("host").dropDuplicates(["host"])
+        .select(
+            node_id("Domain", F.col("host")).alias("id"),
+            F.lit("Domain").alias("label"),
+            F.col("host").alias("name"),
+            F.lit(None).cast("string").alias("url"),
+        )
+    )
+
+    # Section nodes: every cumulative dir prefix of the path, per host.
+    # path "/a/b/c.html" -> segments [a, b]; prefixes "/a", "/a/b".
+    segs = p.select(
+        "url", "host",
+        F.expr("slice(split(path, '/'), 2, greatest(size(split(path,'/')) - 2, 0))").alias("dirs"),
+    )
+    prefixes = segs.select(
+        "url", "host",
+        F.posexplode_outer(
+            F.expr("transform(dirs, (d, i) -> concat_ws('/', slice(dirs, 1, i + 1)))")
+        ).alias("depth", "prefix"),
+    ).filter(F.col("prefix").isNotNull())
+
+    section_key = F.concat_ws("/", F.col("host"), F.col("prefix"))
+    section_nodes = (
+        prefixes.select(section_key.alias("skey"),
+                        F.element_at(F.split("prefix", "/"), -1).alias("name"))
+        .dropDuplicates(["skey"])
+        .select(
+            node_id("Section", F.col("skey")).alias("id"),
+            F.lit("Section").alias("label"),
+            "name",
+            F.lit(None).cast("string").alias("url"),
+        )
+    )
+
+    corpus_node = page_nodes.sparkSession.range(1).select(
+        corpus_id.alias("id"),
+        F.lit("Corpus").alias("label"),
+        F.lit(CORPUS_NAME).alias("name"),
+        F.lit(None).cast("string").alias("url"),
+    )
+
+    nodes = corpus_node.unionByName(domain_nodes).unionByName(section_nodes).unionByName(page_nodes)
+
+    # CONTAINS edges -------------------------------------------------------
+    # Corpus -> Domain
+    e_cd = domain_nodes.select(
+        F.lit("CONTAINS").alias("type"),
+        corpus_id.alias("src"),
+        F.col("id").alias("dst"),
+    )
+
+    # Domain -> first Section; Section -> child Section (parent = prefix minus last seg)
+    sec = prefixes.select(
+        "host", "prefix", "depth",
+        node_id("Section", section_key).alias("sid"),
+    ).dropDuplicates(["sid"])
+    e_ds = sec.filter(F.col("depth") == 0).select(
+        F.lit("CONTAINS").alias("type"),
+        node_id("Domain", F.col("host")).alias("src"),
+        F.col("sid").alias("dst"),
+    )
+    parent_prefix = F.expr(
+        "concat_ws('/', slice(split(prefix, '/'), 1, size(split(prefix,'/')) - 1))"
+    )
+    e_ss = sec.filter(F.col("depth") > 0).select(
+        F.lit("CONTAINS").alias("type"),
+        node_id("Section", F.concat_ws("/", F.col("host"), parent_prefix)).alias("src"),
+        F.col("sid").alias("dst"),
+    )
+
+    # deepest container -> Page (Domain when the path has no dirs)
+    deepest = (
+        prefixes.groupBy("url", "host").agg(
+            F.max_by("prefix", "depth").alias("prefix")
+        )
+    )
+    page_parent = p.join(deepest, ["url", "host"], "left").select(
+        F.lit("CONTAINS").alias("type"),
+        F.when(
+            F.col("prefix").isNotNull(),
+            node_id("Section", F.concat_ws("/", F.col("host"), F.col("prefix"))),
+        ).otherwise(node_id("Domain", F.col("host"))).alias("src"),
+        node_id("Page", F.col("url")).alias("dst"),
+    )
+
+    edges = (
+        e_cd.unionByName(e_ds).unionByName(e_ss).unionByName(page_parent)
+        .dropDuplicates(["type", "src", "dst"])
+        .select(edge_id(F.col("type"), F.col("src"), F.col("dst")).alias("id"),
+                "type", "src", "dst")
+    )
+    return nodes, edges

@@ -168,6 +168,17 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_t.mapInPandas(render, schema=out_schema)
 
 
+def alias_dictionary(spark: SparkSession) -> DataFrame:
+    """Broadcastable alias dictionary (alias -> canonical_name).
+
+    The web analogue of GitNexus's ImportMap (import-processor.ts:38-46):
+    a small dimension resolving alias surface forms to canonical entities.
+    E{k} -> Entity_{k} for the synthetic corpus's 97 entities.
+    """
+    rows = [(f"E{k}", f"Entity_{k}") for k in range(N_ENTITIES)]
+    return spark.createDataFrame(rows, ["alias", "canonical_name"])
+
+
 # ---------------------------------------------------------------------------
 # SQL fragments for DuckDB oracles (documents view -> expected pages columns).
 # Mirrors compose_text()/page_url() exactly; keep the two in lockstep.
