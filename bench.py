@@ -1,0 +1,104 @@
+"""Headline benchmark: one JSON line for the driver.
+
+Runs the KG-construction pipeline (the BASELINE.json headline metric —
+docs/sec and triples/sec) plus the heaviest relational / training-data
+operators at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+The KG corpus is replicated deterministically (REP distinct url variants
+per source doc) so throughput is measured over a meaningfully sized input
+rather than the raw 5k synthetic docs.
+
+Scaling-efficiency evidence (N -> 4N cores on identical input) is produced
+by tools/scaling_bench.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REP = int(os.environ.get("SPARK_GRAFT_KG_REP", "4"))
+SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+
+def replicate_pages(pages, rep: int):
+    """rep deterministic url variants per page (same text/html)."""
+    if rep <= 1:
+        return pages
+    return pages.crossJoin(
+        F.broadcast(pages.sparkSession.range(rep).select(F.col("id").alias("rep_i")))
+    ).withColumn("url", F.concat_ws("", "url", F.lit("?v="), F.col("rep_i"))) \
+     .drop("rep_i")
+
+
+def main() -> None:
+    from gitnexus_spark.session import get_spark
+    from gitnexus_spark.synthetic import alias_dictionary, synth_pages
+
+    spark = get_spark(app_name="gitnexus-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 16))
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- KG pipeline (headline) -------------------------------------------
+    from gitnexus_spark.plans.pipeline import KGPipeline
+
+    out_dir = "/tmp/gitnexus_bench_kg"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages = replicate_pages(synth_pages(spark, SF_DIR), REP).persist()
+    n_docs = pages.count()
+
+    def run_kg():
+        pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark))
+        return pipe.run(pages)
+
+    kg = timed("kg_pipeline", run_kg)
+    n_triples = kg["triples_resolved"].count()
+    pages.unpersist()
+    extras["kg_docs"] = n_docs
+    extras["kg_triples"] = n_triples
+    extras["docs_per_sec"] = round(n_docs / timings["kg_pipeline"], 1)
+    extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
+
+    # ---- relational / training-data headliners ----------------------------
+    import __spark_entry__ as entrymod
+
+    heads = [
+        "agg_pricing_summary", "top_customers", "window_top_orders",
+        "interval_join", "events_sessionize", "dedup_exact",
+        "dedup_minhash_pairs", "dedup_simhash", "text_stats",
+        "similarity_topk", "similarity_ann_ivf",
+    ]
+    qs = entrymod.queries()
+    for name in heads:
+        timed(name, lambda n=name: qs[n](spark, SF_DIR)
+              .write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        **extras,
+    }))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Spark SQL expressions (JVM-side, codegen'd, oracle-reproducible).
+Reference analogues: language detection by extension/content
+(parsing-processor.ts:592-609, language-config.ts:335-361), minified/noise
+content heuristics (parsing-processor.ts:559-590), rolling content hash
+(parsing-processor.ts:806-814).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword packs (rule packs = data, like the
+# tree-sitter query packs). Deliberately small + frozen: they are part of
+# the deterministic contract.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]  # deterministic tie-break order
+
+
+def _words(text_col: str) -> str:
+    return f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"
+
+
+def with_token_count(df: DataFrame, text_col: str = "text",
+                     out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count. A BPE-ish subword estimate is ~chars/4 —
+    provided as token_estimate."""
+    w = _words(text_col)
+    return df.withColumn(
+        out_col, F.expr(f"if(trim({text_col}) = '', 0, size({w}))")
+    ).withColumn(
+        "token_estimate",
+        F.expr(f"cast(ceil(length({text_col}) / 4.0) as bigint)"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: CJK char share first, else argmax stopword
+    hit-count with fixed priority tie-break; 'und' when nothing hits."""
+    w = _words(text_col)
+    hits = {
+        lang: f"size(array_intersect({w}, array({', '.join(repr(s) for s in sws)})))"
+        for lang, sws in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hits[lg] for lg in LANG_PRIORITY) + ")"
+    pick = "case "
+    for lg in LANG_PRIORITY:  # first max in priority order wins
+        pick += f"when {hits[lg]} = {best} then '{lg}' "
+    pick += "end"
+    expr = (
+        f"case when length(regexp_replace({text_col}, '[^\\\\x{{4e00}}-\\\\x{{9fff}}]', '')) * 4 "
+        f"> length({text_col}) then 'zh' "
+        f"when {best} = 0 then 'und' "
+        f"else {pick} end"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text",
+                       out_col: str = "quality") -> DataFrame:
+    """Blended quality score in [0,1] — the web analogue of the
+    minified/boilerplate detector (parsing-processor.ts:559-590) and the
+    reference's blended similarity weights (semantic-similarity.ts:150):
+      0.4 * length_score  (saturating at 200 words)
+      0.3 * stopword_ratio_score (any-language stopword share, capped)
+      0.3 * word_length_score (mean word length in [3..8] ideal)
+    Also emits is_boilerplate: first line > 500 chars (minified analogue).
+    """
+    w = _words(text_col)
+    all_stops = sorted({s for v in STOPWORDS.values() for s in v})
+    stops_arr = "array(" + ", ".join(repr(s) for s in all_stops) + ")"
+    n_words = f"size({w})"
+    length_score = f"least(cast({n_words} as double) / 200.0, 1.0)"
+    stop_ratio = (
+        f"cast(size(filter({w}, x -> array_contains({stops_arr}, x))) as double) "
+        f"/ greatest({n_words}, 1)"
+    )
+    stop_score = f"least(({stop_ratio}) * 4.0, 1.0)"
+    mean_wlen = (
+        f"cast(aggregate({w}, 0, (acc, x) -> acc + length(x)) as double) "
+        f"/ greatest({n_words}, 1)"
+    )
+    wlen_score = f"greatest(1.0 - abs(({mean_wlen}) - 5.5) / 5.5, cast(0 as double))"
+    return df.withColumn(
+        out_col,
+        F.round(F.expr(f"0.4 * ({length_score}) + 0.3 * ({stop_score}) + 0.3 * ({wlen_score})"), 6),
+    ).withColumn(
+        "is_boilerplate",
+        F.expr(f"length(split({text_col}, '\\n')[0]) > 500").cast("int"),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
+                     shingle_n: int = 3, out_col: str = "fingerprint") -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest md5(shingle) values,
+    sorted — a compact document signature whose overlap estimates Jaccard
+    (winnowing-style; ref rolling hash parsing-processor.ts:806-814)."""
+    from ..operators.dedup import with_shingles
+
+    d = with_shingles(df, text_col, shingle_n)
+    return d.withColumn(
+        out_col,
+        F.expr(f"slice(array_sort(transform(shingles, s -> md5(s))), 1, {k})"),
+    ).drop("shingles")

@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash-LSH, SimHash, n-gram-Jaccard, and (see similarity.py)
+embedding-cosine near-dup. The reference's only dedup is set-based
+first-writer-wins (DuplicateDetector, src/lib/shared-utils.ts:131) and
+relationship dedup (query.ts:223-234); web-scale corpora need the full
+family.
+
+Implementation rules:
+- EVERYTHING here is built-in Spark SQL expressions — JVM-side,
+  whole-stage-codegen'd, zero Python in the hot path.
+- All hashing is md5-based so results are exactly reproducible in the
+  DuckDB oracle (and across Spark versions) — no JVM-specific
+  xxhash64/murmur in user-visible output.
+- Pair outputs are canonicalized (id_a < id_b) and distinct.
+
+Scale notes (100 TB posture):
+- exact dedup: one shuffle on content hash (even distribution by
+  construction).
+- MinHash-LSH: signatures computed scan-local; the candidate join
+  shuffles on (band_idx, band_hash) — band hashes are uniform, so no
+  skew; banding keeps the join linear-ish vs the O(n^2) naive join.
+- SimHash: scan-local fingerprint; near-dup candidates block on
+  band prefixes of the fingerprint.
+- Shingle-based ops drop ultra-frequent shingles (prefix filtering)
+  before joining, the same head-key guard as linking.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Word n-gram shingle set (distinct, order-normalized whitespace)."""
+    words = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({words}, i, {n}))))"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+# sql fragment for the DuckDB oracle (same shingle set)
+def shingles_sql(text_col: str = "text", n: int = 3) -> str:
+    words = f"string_split(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')), ' ')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({words}) - {n - 1}, 1)), "
+        f"i -> array_to_string(({words})[i:i+{n - 1}], ' ')))"
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, content_hash, keeper_id, is_dup): groups identical texts by
+    md5; keeper = min id per group (deterministic first-writer-wins —
+    the distributed DuplicateDetector)."""
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("is_dup", (F.col(id_col) != F.col("keeper_id")).cast("int"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+MINHASH_P = 2147483647  # 2^31 - 1; products stay < 2^62 (no int64 overflow)
+
+
+def _minhash_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed affine constants (a_i, b_i), identical in the DuckDB oracle."""
+    return [((2654435761 * (i + 1)) % MINHASH_P,
+             (40503 * (i + 7) + 1) % MINHASH_P) for i in range(num_hashes)]
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_hashes: int = 16, shingle_n: int = 3,
+                      out_col: str = "sig") -> DataFrame:
+    """num_hashes-element MinHash signature (array<bigint>).
+
+    Hash family: ONE md5 per shingle folded to a 60-bit int, then
+    num_hashes cheap affine mixes h_i(x) = (a_i*x + b_i) mod (2^31-1) —
+    O(S) digest work instead of O(S * H), same uniformity. Deterministic
+    and oracle-reproducible; computed entirely scan-local (no shuffle).
+    """
+    d = with_shingles(df, text_col, shingle_n)
+    base = ("pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), "
+            f"{MINHASH_P})")
+    d = d.withColumn("_bases", F.expr(f"transform(shingles, s -> {base})"))
+    mins = ", ".join(
+        f"array_min(transform(_bases, x -> pmod({a} * x + {b}, {MINHASH_P})))"
+        for a, b in _minhash_consts(num_hashes)
+    )
+    return d.withColumn(out_col, F.expr(f"array({mins})")) \
+            .drop("shingles", "_bases")
+
+
+def minhash_bases_sql(shingles_var: str = "shingles") -> str:
+    """DuckDB fragment: shingle list -> 31-bit base hash list."""
+    return (f"list_transform({shingles_var}, s -> "
+            f"(('0x' || substring(md5(s), 1, 15))::BIGINT) % {MINHASH_P})")
+
+
+def minhash_sig_sql(bases_var: str = "bases", num_hashes: int = 16) -> str:
+    """DuckDB fragment: base-hash list -> signature list (same constants)."""
+    mins = ", ".join(
+        f"list_min(list_transform({bases_var}, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in _minhash_consts(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    bands * rows_per_band == num_hashes; docs sharing ANY band hash become
+    a candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
+    The band join shuffles on (band, band_hash) — uniformly distributed.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signature(df.select(id_col, text_col), text_col,
+                             num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> md5(concat_ws(',', transform(slice(sig, b * {r} + 1, {r}), "
+                f"x -> cast(x as string)))))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    other = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    return (
+        banded.join(other, ["band", "band_hash"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact verification / standalone near-dup)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.8,
+                        shingle_n: int = 3,
+                        max_shingle_df: int = 100_000) -> DataFrame:
+    """Exact Jaccard similarity join blocked on shared shingles.
+
+    Returns (id_a, id_b, jaccard) for pairs >= threshold, id_a < id_b.
+    Ultra-frequent shingles (df > max_shingle_df) are excluded from
+    BLOCKING only; Jaccard stays exact because it is computed from the
+    full per-doc shingle counts.
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n) \
+        .select(F.col(id_col).alias("id"), "shingles") \
+        .withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("sh"))
+    hot = ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+    ex = ex.join(hot.select("sh"), "sh", "left_anti")
+    pairs = (
+        ex.alias("a").join(ex.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("common"))
+        .withColumn("jaccard",
+                    F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            out_col: str = "simhash", bits: int = SIMHASH_BITS) -> DataFrame:
+    """bits-wide SimHash fingerprint as an int array of 0/1.
+
+    Per-token bit_k = parity of the k-th hex digit of md5(token); the
+    fingerprint bit is the sign of the sum of (2*bit-1) over tokens.
+    Pure SQL expressions -> oracle-reproducible; scan-local, no shuffle.
+    """
+    assert bits <= 32
+    words = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    expr = (
+        f"transform(sequence(1, {bits}), k -> "
+        f"case when aggregate({words}, 0, (acc, w) -> acc + "
+        f"if(instr('13579bdf', substring(md5(w), k, 1)) > 0, 1, -1)) > 0 "
+        f"then 1 else 0 end)"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def simhash_hex(df: DataFrame, text_col: str = "text",
+                out_col: str = "simhash_hex", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash rendered as a bit string (join/debug-friendly)."""
+    d = simhash(df, text_col, "_sh_bits", bits)
+    return d.withColumn(out_col, F.expr("concat_ws('', _sh_bits)")).drop("_sh_bits")
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  bands: int = 4, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup candidates: Hamming(simhash) <= max_hamming.
+
+    Blocking: split the fingerprint into `bands` segments; by pigeonhole
+    any pair within max_hamming (< bands) shares at least one exact
+    segment -> join per segment, then verify exact Hamming distance.
+    bands is raised automatically when max_hamming >= bands, otherwise the
+    blocking would silently drop true pairs (false negatives).
+    """
+    if max_hamming >= bands:
+        bands = max_hamming + 1
+    while bits % bands != 0:
+        bands += 1
+    d = simhash(df.select(id_col, text_col), text_col, "sh", bits)
+    seg = bits // bands
+    banded = d.select(
+        F.col(id_col).alias("id"), F.col("sh"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> concat_ws('', slice(sh, b * {seg} + 1, {seg})))"
+            )
+        ).alias("band", "seg_key"),
+    )
+    other = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                          "band", "seg_key")
+    cand = (
+        banded.join(other, ["band", "seg_key"])
+        .filter(F.col("id") < F.col("id_b"))
+        .dropDuplicates(["id", "id_b"])
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(sh, sh_b, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("id").alias("id_a"), F.col("id_b"), "hamming")
+    )

@@ -94,24 +94,37 @@ def _extract_doc(url: str, text: str, html: bytes | None) -> list[tuple]:
     return rows
 
 
-def extract_all(pages: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_all(pages: DataFrame, text_col: str = "text",
+                carry_cols: list[str] | None = None) -> DataFrame:
     """pages -> tall extracted(url, item, name, pred, obj, start, end, target_url).
 
     Single corpus scan; per-document regex work inside Arrow batches.
+    carry_cols: input columns copied onto every emitted row (e.g. warc_ts
+    for event-time streaming aggregation).
     """
     import pandas as pd
+    from pyspark.sql.types import StructType
 
-    src = pages.select("url", F.col(text_col).alias("text"), "html")
+    carry = carry_cols or []
+    src = pages.select("url", F.col(text_col).alias("text"), "html", *carry)
+    carry_fields = [f for f in pages.schema.fields if f.name in carry]
+    schema = StructType(EXTRACTED_SCHEMA.fields + carry_fields)
 
     def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = [f.name for f in EXTRACTED_SCHEMA.fields]
         for pdf in it:
             out: list[tuple] = []
-            for url, text, html in zip(pdf["url"], pdf["text"], pdf["html"]):
-                out.extend(_extract_doc(url, text, html))
-            yield pd.DataFrame(out, columns=cols)
+            idx: list[int] = []
+            for i, (url, text, html) in enumerate(zip(pdf["url"], pdf["text"], pdf["html"])):
+                rows = _extract_doc(url, text, html)
+                out.extend(rows)
+                idx.extend([i] * len(rows))
+            res = pd.DataFrame(out, columns=cols)
+            for c in carry:
+                res[c] = pdf[c].iloc[idx].reset_index(drop=True) if idx else pdf[c].iloc[:0]
+            yield res
 
-    return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+    return src.mapInPandas(run, schema=schema)
 
 
 def mentions(extracted: DataFrame, min_len: int = 2,

@@ -1,0 +1,179 @@
+"""Graph read path: the query surface of the reference re-expressed as
+DataFrame ops over the two-table graph model (nodes, edges).
+
+Reference: GraphQueryEngine regex-Cypher (src/ai/query-engine.ts:46-132,
+152-402) and adjacency-indexed traversal (src/core/graph/query.ts:30-197).
+The regex parser + per-class executors collapse into Spark SQL over two
+temp views; the only constructs needing explicit iteration are k-hop /
+variable-length paths (Catalyst has no recursion) — bounded driver loops
+over joins, caps carried over from query-optimization.ts:412-422.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_PATH_DEPTH = 5       # ref query-optimization.ts:412-422 rewrites *1..N>5 -> 5
+DEFAULT_NODE_CAP = 500   # ref query.ts:102 BFS node cap
+
+
+def register_views(nodes: DataFrame, edges: DataFrame) -> None:
+    """Expose the graph to Spark SQL — the replacement for the reference's
+    whole Cypher layer (entry point C, SURVEY §3.3)."""
+    nodes.createOrReplaceTempView("nodes")
+    edges.createOrReplaceTempView("edges")
+
+
+def match_pattern(nodes: DataFrame, edges: DataFrame, rel_type: str,
+                  src_label: str | None = None,
+                  dst_label: str | None = None) -> DataFrame:
+    """(a)-[:T]->(b) pattern join (J6, query-engine.ts:359-402).
+
+    Returns (src_id, src_name, type, dst_id, dst_name). The edges side is
+    filtered by partition column `type` first (partition-pruned scan at
+    rest), then two hash joins against nodes.
+    """
+    e = edges.filter(F.col("type") == rel_type)
+    a = nodes.select(F.col("id").alias("src"), F.col("label").alias("src_label"),
+                     F.col("name").alias("src_name"))
+    b = nodes.select(F.col("id").alias("dst"), F.col("label").alias("dst_label"),
+                     F.col("name").alias("dst_name"))
+    if src_label:
+        a = a.filter(F.col("src_label") == src_label)
+    if dst_label:
+        b = b.filter(F.col("dst_label") == dst_label)
+    return (
+        e.join(a, "src").join(b, "dst")
+        .select(F.col("src").alias("src_id"), "src_name",
+                F.col("type"), F.col("dst").alias("dst_id"), "dst_name")
+    )
+
+
+def k_hop(edges: DataFrame, start_ids: DataFrame, k: int,
+          direction: str = "out", rel_types: list[str] | None = None,
+          node_cap: int = DEFAULT_NODE_CAP) -> DataFrame:
+    """k-hop neighborhood (Q4, query.ts:97-152): iterative frontier joins.
+
+    start_ids: DataFrame with column `id`. Returns (id, hop) with the
+    minimum hop distance (<= k). Each hop is one join; AQE handles the
+    shrinking frontier. node_cap mirrors the reference's traversal cap.
+    """
+    e = edges
+    if rel_types:
+        e = e.filter(F.col("type").isin(rel_types))
+    if direction == "out":
+        adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id"))
+    elif direction == "in":
+        adj = e.select(F.col("dst").alias("from_id"), F.col("src").alias("to_id"))
+    else:  # both
+        adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id")) \
+            .unionByName(e.select(F.col("dst").alias("from_id"),
+                                  F.col("src").alias("to_id")))
+    adj = adj.dropDuplicates(["from_id", "to_id"]).persist()
+
+    visited = start_ids.select(F.col("id")).dropDuplicates(["id"]) \
+        .withColumn("hop", F.lit(0)).localCheckpoint()
+    frontier = visited
+
+    for depth in range(1, min(k, MAX_PATH_DEPTH * 2) + 1):
+        nxt = (
+            frontier.join(adj, frontier.id == adj.from_id)
+            .select(F.col("to_id").alias("id"))
+            .dropDuplicates(["id"])
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hop", F.lit(depth))
+            .limit(node_cap)
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    adj.unpersist()
+    return visited
+
+
+def var_length_paths(edges: DataFrame, start_ids: DataFrame, rel_type: str,
+                     min_hops: int = 1, max_hops: int = 3,
+                     max_paths: int = 10) -> DataFrame:
+    """Variable-length paths (Q6, query-engine.ts:254-323): bounded
+    iterative self-join accumulating the path as an id array; cycles
+    pruned with array_contains; capped like the reference (<= max_paths
+    per start node, max depth clamped to MAX_PATH_DEPTH)."""
+    max_hops = min(max_hops, MAX_PATH_DEPTH)
+    e = edges.filter(F.col("type") == rel_type) \
+        .select(F.col("src").alias("from_id"), F.col("dst").alias("to_id")) \
+        .dropDuplicates(["from_id", "to_id"]).persist()
+
+    paths = start_ids.select(
+        F.col("id").alias("start_id"),
+        F.array(F.col("id")).alias("path"),
+        F.col("id").alias("head_id"),
+        F.lit(0).alias("hops"),
+    ).localCheckpoint()
+    results = []
+    frontier = paths
+    for depth in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(e, frontier.head_id == e.from_id)
+            .filter(~F.array_contains(F.col("path"), F.col("to_id")))
+            .select(
+                "start_id",
+                F.concat(F.col("path"), F.array(F.col("to_id"))).alias("path"),
+                F.col("to_id").alias("head_id"),
+                F.lit(depth).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        if depth >= min_hops:
+            results.append(frontier)
+    e.unpersist()
+    if not results:
+        return paths.filter(F.lit(False)).select("start_id", "path", "hops")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    # cap paths per start node deterministically (path array as tiebreak)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("start_id").orderBy("hops", F.col("path").cast("string"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_paths)
+        .select("start_id", "path", "hops")
+    )
+
+
+def search_nodes(nodes: DataFrame, needle: str) -> DataFrame:
+    """Full-text node search (Q9, query-engine.ts:448-463)."""
+    hay = F.lower(F.concat_ws(" ", F.coalesce("name", F.lit("")),
+                              F.coalesce("url", F.lit(""))))
+    return nodes.filter(hay.contains(needle.lower()))
+
+
+def node_degree(edges: DataFrame) -> DataFrame:
+    """(id, out_degree, in_degree) — adjacency stats (Q10/A1 family)."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
+    return out_d.join(in_d, "id", "full").select(
+        "id",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+    )
+
+
+def top_entities_by_mentions(nodes: DataFrame, edges: DataFrame, k: int = 10) -> DataFrame:
+    """Benchmark-query analogue: group-count + ORDER BY DESC LIMIT k
+    (kuzu-performance-benchmark.ts:62-63)."""
+    men = edges.filter(F.col("type") == "MENTIONS")
+    ent = nodes.filter(F.col("label") == "Entity") \
+        .select(F.col("id").alias("dst"), "name")
+    return (
+        men.join(ent, "dst")
+        .groupBy("dst", "name").agg(F.count("*").alias("n_mentions"))
+        .orderBy(F.desc("n_mentions"), F.asc("name"))
+        .limit(k)
+    )

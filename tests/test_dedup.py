@@ -1,0 +1,89 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+        (4, "completely different text about spark and data"),
+        (5, "another unrelated document mentioning query engines"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from gitnexus_spark.operators.dedup import exact_dedup
+
+    got = {r["doc_id"]: (r["keeper_id"], r["is_dup"]) for r in exact_dedup(docs).collect()}
+    assert got[1] == (1, 0)
+    assert got[2] == (1, 1)   # dup points at min id
+    assert got[3] == (3, 0)
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    from gitnexus_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, num_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # 1-word-off near dup
+    assert (4, 5) not in pairs
+
+
+def test_minhash_deterministic(docs):
+    from gitnexus_spark.operators.dedup import minhash_signature
+
+    a = minhash_signature(docs, num_hashes=8).select("doc_id", "sig").collect()
+    b = minhash_signature(docs, num_hashes=8).select("doc_id", "sig").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_jaccard_exact_value(docs, spark):
+    from gitnexus_spark.operators.dedup import ngram_jaccard_pairs, with_shingles
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # verify (1,3) against a locally computed jaccard
+    sh = {r["doc_id"]: set(r["shingles"])
+          for r in with_shingles(docs).select("doc_id", "shingles").collect()}
+    expected = len(sh[1] & sh[3]) / len(sh[1] | sh[3])
+    assert abs(pairs[(1, 3)] - expected) < 1e-6
+
+
+def test_simhash_identical_and_near(docs):
+    from gitnexus_spark.operators.dedup import simhash_hex, simhash_pairs
+
+    hx = {r["doc_id"]: r["simhash_hex"] for r in simhash_hex(docs).collect()}
+    assert hx[1] == hx[2]
+    assert len(hx[1]) == 32
+    # true hamming(1,3) from the fingerprints themselves
+    h13 = sum(a != b for a, b in zip(hx[1], hx[3]))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=max(h13, 1)).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] == h13
+
+
+def test_simhash_band_pigeonhole(docs):
+    """max_hamming < bands guarantees no false negatives vs brute force."""
+    from gitnexus_spark.operators.dedup import simhash, simhash_pairs
+
+    d = {r["doc_id"]: r["sh"] for r in
+         simhash(docs, out_col="sh").select("doc_id", F.col("sh")).collect()}
+    brute = set()
+    ids = sorted(d)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = sum(abs(x - y) for x, y in zip(d[i], d[j]))
+                if h <= 3:
+                    brute.add((i, j, h))
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in simhash_pairs(docs, max_hamming=3, bands=4).collect()}
+    assert got == brute

@@ -1,0 +1,96 @@
+"""Graph read path: pattern join, k-hop, var-length paths, search, top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [("n1", "Page", "p1", "u1"), ("n2", "Page", "p2", "u2"),
+         ("n3", "Entity", "Acme", None), ("n4", "Entity", "Zorg", None),
+         ("n5", "Page", "p5", "u5")],
+        "id string, label string, name string, url string")
+    edges = spark.createDataFrame(
+        [("e1", "LINKS_TO", "n1", "n2"), ("e2", "LINKS_TO", "n2", "n5"),
+         ("e3", "MENTIONS", "n1", "n3"), ("e4", "MENTIONS", "n2", "n3"),
+         ("e5", "MENTIONS", "n5", "n4")],
+        "id string, type string, src string, dst string")
+    return nodes, edges
+
+
+def test_match_pattern(graph):
+    from gitnexus_spark.operators.graph_queries import match_pattern
+
+    nodes, edges = graph
+    got = match_pattern(nodes, edges, "MENTIONS", "Page", "Entity").collect()
+    assert {(r["src_name"], r["dst_name"]) for r in got} == \
+        {("p1", "Acme"), ("p2", "Acme"), ("p5", "Zorg")}
+
+
+def test_k_hop_out(spark, graph):
+    from gitnexus_spark.operators.graph_queries import k_hop
+
+    _, edges = graph
+    start = spark.createDataFrame([("n1",)], ["id"])
+    got = {r["id"]: r["hop"] for r in
+           k_hop(edges, start, 2, rel_types=["LINKS_TO"]).collect()}
+    assert got == {"n1": 0, "n2": 1, "n5": 2}
+
+
+def test_k_hop_both_directions(spark, graph):
+    from gitnexus_spark.operators.graph_queries import k_hop
+
+    _, edges = graph
+    start = spark.createDataFrame([("n3",)], ["id"])
+    got = {r["id"]: r["hop"] for r in
+           k_hop(edges, start, 1, direction="both").collect()}
+    assert got == {"n3": 0, "n1": 1, "n2": 1}
+
+
+def test_var_length_paths(spark, graph):
+    from gitnexus_spark.operators.graph_queries import var_length_paths
+
+    _, edges = graph
+    start = spark.createDataFrame([("n1",)], ["id"])
+    got = var_length_paths(edges, start, "LINKS_TO", 1, 3).collect()
+    paths = {tuple(r["path"]) for r in got}
+    assert paths == {("n1", "n2"), ("n1", "n2", "n5")}
+
+
+def test_search_nodes(graph):
+    from gitnexus_spark.operators.graph_queries import search_nodes
+
+    nodes, _ = graph
+    assert {r["id"] for r in search_nodes(nodes, "acme").collect()} == {"n3"}
+
+
+def test_node_degree(graph):
+    from gitnexus_spark.operators.graph_queries import node_degree
+
+    _, edges = graph
+    got = {r["id"]: (r["out_degree"], r["in_degree"])
+           for r in node_degree(edges).collect()}
+    assert got["n1"] == (2, 0)
+    assert got["n2"] == (2, 1)
+    assert got["n3"] == (0, 2)
+
+
+def test_top_entities_by_mentions(graph):
+    from gitnexus_spark.operators.graph_queries import top_entities_by_mentions
+
+    nodes, edges = graph
+    got = top_entities_by_mentions(nodes, edges, k=1).collect()
+    assert got[0]["name"] == "Acme" and got[0]["n_mentions"] == 2
+
+
+def test_sql_views(spark, graph):
+    from gitnexus_spark.operators.graph_queries import register_views
+
+    nodes, edges = graph
+    register_views(nodes, edges)
+    got = spark.sql("""
+        SELECT n.name, COUNT(*) AS c FROM edges e
+        JOIN nodes n ON e.dst = n.id WHERE e.type = 'MENTIONS'
+        GROUP BY n.name ORDER BY c DESC, n.name LIMIT 1""").collect()
+    assert got[0]["name"] == "Acme"
