@@ -47,13 +47,25 @@ TRIPLES_RAW_CTE = f"""triples_raw AS (
 )"""
 
 
+_KG_CACHE: dict[str, tuple] = {}
+
+
 def _run_kg_pipeline_light(spark: SparkSession, sf_dir: str):
-    """In-memory (no checkpoint) pass-2/3 slice used by the KG queries."""
+    """In-memory (no checkpoint) pass-2/3 slice used by the KG queries.
+
+    Memoized per sf_dir with persisted intermediates — the driver runs
+    many KG queries in one process, and extraction/linking/CC are shared
+    work, not per-query work.
+    """
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
+
     from gitnexus_spark.operators.components import canonical_entities
     from gitnexus_spark.operators.linking import entity_registry, link_mentions
 
     pages = synth_pages(spark, sf_dir)
-    ext = extract_all(pages)
+    ext = extract_all(pages).localCheckpoint()   # one corpus scan, shared
     men = mentions(ext)
     tri = triples(ext)
     registry = entity_registry(men)
@@ -65,9 +77,11 @@ def _run_kg_pipeline_light(spark: SparkSession, sf_dir: str):
         .select(F.lit("").alias("doc_url"), "name", F.lit("any").alias("role"))
     )
     linked = link_mentions(endpoints, registry, ad) \
-        .select("name", "canonical_name", "stage", "confidence")
-    canon = canonical_entities(registry, linked, ad)
-    return pages, ext, men, tri, registry, linked, canon
+        .select("name", "canonical_name", "stage", "confidence").localCheckpoint()
+    canon = canonical_entities(registry, linked, ad).localCheckpoint()
+    out = (pages, ext, men, tri, registry, linked, canon)
+    _KG_CACHE[key] = out
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -88,8 +102,8 @@ SQL_KG_PASS1 = f"WITH {PAGES_CTE} SELECT url, md5(text) AS content_hash FROM pag
 
 
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = synth_pages(spark, sf_dir)
-    return mentions(extract_all(pages)).select("url", "name")
+    _, _, men, *_ = _run_kg_pipeline_light(spark, sf_dir)
+    return men.select("url", "name")
 
 
 SQL_KG_MENTIONS = f"""WITH {PAGES_CTE},
@@ -99,8 +113,8 @@ SELECT url, name FROM m WHERE length(name) >= 2 AND name NOT IN ({_STOPS})"""
 
 
 def q_kg_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = synth_pages(spark, sf_dir)
-    return triples(extract_all(pages)).select("doc_url", "subj", "pred", "obj")
+    *_, tri, _, _, _ = _run_kg_pipeline_light(spark, sf_dir)
+    return tri.select("doc_url", "subj", "pred", "obj")
 
 
 SQL_KG_TRIPLES_RAW = f"WITH {TRIPLES_RAW_CTE} SELECT doc_url, subj, pred, obj FROM triples_raw"
@@ -179,8 +193,8 @@ def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperlink extraction from raw html (IMPORTS analogue)."""
     from gitnexus_spark.operators.extract import links
 
-    pages = synth_pages(spark, sf_dir)
-    return links(extract_all(pages)).select("url", "target_url")
+    _, ext, *_ = _run_kg_pipeline_light(spark, sf_dir)
+    return links(ext).select("url", "target_url")
 
 
 SQL_KG_LINKS = f"""WITH {PAGES_CTE},

@@ -23,15 +23,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) -> (vertex, component) with component = min vertex id
     (string min) reachable in the undirected graph. Isolated vertices absent
-    from `edges` are absent from the output (join back if needed)."""
+    from `edges` are absent from the output (join back if needed).
+
+    Hybrid execution: the coreference graph lives on the ENTITY DIMENSION
+    (vocabulary-scale, not corpus-scale), so when it has fewer than
+    ``driver_threshold`` edges a single-pass driver union-find is far
+    cheaper than iterated shuffles (each distributed round costs several
+    small jobs regardless of data size). Above the threshold the
+    distributed min-label-propagation loop below takes over — identical
+    results, O(diameter) rounds.
+    """
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges.sparkSession.createDataFrame([], "vertex string, component string")
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges, src, dst)
+    return _distributed_min_label(edges, src, dst, max_iter)
+
+
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Classic path-compressed union-find on collected edges; component =
+    min member (same contract as the distributed path)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.select(src, dst).toLocalIterator():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(v, find(v)) for v in parent]
+    return edges.sparkSession.createDataFrame(rows, "vertex string, component string")
+
+
+def _distributed_min_label(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -115,6 +115,17 @@ def link_mentions(
     still = resolved_exact.filter(F.col("canonical_name").isNull()) \
                           .select("_mid", "doc_url", "name", "role")
 
+    # short-circuit: when stages 1+2 resolved everything, skip building the
+    # (multi-stage) fuzzy plan entirely — common on clean corpora, and the
+    # empty-probe plan still costs several shuffle rounds of fixed overhead.
+    if still.isEmpty():
+        return resolved_exact.select(
+            "doc_url", "name", "role", "canonical_name",
+            F.when(F.col("canonical_name").isNotNull(),
+                   node_id("Entity", F.col("canonical_name"))).alias("entity_id"),
+            F.coalesce("stage", F.lit("failed")).alias("stage"), "confidence",
+        )
+
     # ---- stage 3: n-gram Jaccard blocking join -----------------------------
     def gram_explode(df: DataFrame, name_col: str, id_cols: list[str]) -> DataFrame:
         g = df.select(

@@ -96,15 +96,19 @@ class KGPipeline:
             )
         pages_text = self._load_or("pages_text", p1)
 
-        # pass 1b: structure graph
-        def p1b_nodes():
-            n, _ = structure_graph(pages_text)
-            return n
-        def p1b_edges():
-            _, e = structure_graph(pages_text)
-            return e
-        struct_nodes = self._load_or("struct_nodes", p1b_nodes)
-        struct_edges = self._load_or("struct_edges", p1b_edges)
+        # pass 1b: structure graph (computed once; url projection persisted
+        # so the nodes and edges jobs share the scan)
+        _struct_cache: dict[str, DataFrame] = {}
+
+        def _struct() -> tuple[DataFrame, DataFrame]:
+            if "n" not in _struct_cache:
+                src = pages_text.select("url").persist()
+                n, e = structure_graph(src)
+                _struct_cache["n"], _struct_cache["e"] = n, e
+            return _struct_cache["n"], _struct_cache["e"]
+
+        struct_nodes = self._load_or("struct_nodes", lambda: _struct()[0])
+        struct_edges = self._load_or("struct_edges", lambda: _struct()[1])
 
         # pass 2: one-scan extraction (mentions + triples + links)
         def p2():

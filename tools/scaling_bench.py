@@ -1,0 +1,81 @@
+"""Scaling-efficiency evidence: the SAME KG-construction job at two
+parallelism levels (local[N] and local[4N]) on identical input.
+
+The sandbox has no real cluster; per the evaluation rule the N -> 4N
+executor scaling criterion is evidenced by running the identical job at
+two local parallelism levels and reporting throughput at both plus
+efficiency = throughput_4N / (4 * throughput_N).
+
+Each level runs in a fresh subprocess (fresh JVM) so JIT/cache state
+cannot leak between measurements. Results are appended to BENCH.md.
+
+Usage: python tools/scaling_bench.py [N] [REP] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+RUNNER = r"""
+import json, shutil, sys, time
+sys.path.insert(0, ".")
+cpus, rep, sf_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+from gitnexus_spark.session import get_spark
+from gitnexus_spark.synthetic import synth_pages, alias_dictionary
+from gitnexus_spark.plans.pipeline import KGPipeline
+from bench import replicate_pages
+out_dir = f"/tmp/scaling_kg_{cpus}"
+shutil.rmtree(out_dir, ignore_errors=True)
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8),
+                  app_name=f"scaling-{cpus}")
+pages = replicate_pages(synth_pages(spark, sf_dir), rep).persist()
+n_docs = pages.count()
+pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark))
+t0 = time.time()
+out = pipe.run(pages)
+wall = time.time() - t0
+n_triples = out["triples_resolved"].count()
+print(json.dumps({"cpus": cpus, "docs": n_docs, "triples": n_triples,
+                  "wall_sec": round(wall, 2),
+                  "docs_per_sec": round(n_docs / wall, 1),
+                  "triples_per_sec": round(n_triples / wall, 1)}))
+shutil.rmtree(out_dir, ignore_errors=True)
+spark.stop()
+"""
+
+
+def run_level(cpus: int, rep: int, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cpus), str(rep), sf_dir],
+        capture_output=True, text=True, timeout=3600, cwd=".",
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+    lo = run_level(n, rep, sf_dir)
+    hi = run_level(4 * n, rep, sf_dir)
+    eff = round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3)
+    result = {"N": n, "4N": 4 * n, "rep": rep, "sf_dir": sf_dir,
+              "low": lo, "high": hi, "scaling_efficiency": eff}
+    print(json.dumps(result, indent=2))
+
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Scaling run (N={n} -> 4N={4*n}, {lo['docs']} docs, {sf_dir})\n\n"
+            f"| cores | wall (s) | docs/sec | triples/sec |\n|---|---|---|---|\n"
+            f"| {n} | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo['triples_per_sec']} |\n"
+            f"| {4*n} | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi['triples_per_sec']} |\n\n"
+            f"**Scaling efficiency (N->4N): {eff}** "
+            f"(= {hi['docs_per_sec']} / (4 x {lo['docs_per_sec']}))\n")
+
+
+if __name__ == "__main__":
+    main()
