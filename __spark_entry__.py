@@ -211,6 +211,245 @@ t AS (
 SELECT p.url, t.target_url FROM t JOIN pages p USING (doc_id)"""
 
 
+_FULL_CACHE: dict[str, dict] = {}
+
+
+def _run_full_pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized FULL four-pass checkpointed pipeline (the real thing,
+    including pass 4 materialization) — feeds the end-to-end graph
+    queries so the correctness gate exercises production code."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _FULL_CACHE:
+        import tempfile
+
+        from gitnexus_spark.plans.pipeline import KGPipeline
+
+        out_dir = tempfile.mkdtemp(prefix="kg_entry_")
+        pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark))
+        _FULL_CACHE[key] = pipe.run(synth_pages(spark, sf_dir))
+    return _FULL_CACHE[key]
+
+
+def q_kg_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: full pipeline -> final edges grouped by type. The
+    oracle recomputes every edge class from generation arithmetic."""
+    out = _run_full_pipeline(spark, sf_dir)
+    return out["edges"].groupBy("type").agg(F.count("*").alias("n"))
+
+
+SQL_KG_EDGE_COUNTS = f"""WITH
+params AS (SELECT COUNT(*) AS n_docs FROM documents),
+contains_n AS (
+  SELECT (SELECT COUNT(DISTINCT source) FROM documents)
+       + (SELECT COUNT(*) FROM (SELECT DISTINCT source, lang FROM documents))
+       + (SELECT COUNT(*) FROM (SELECT DISTINCT source, lang, doc_id % 10 FROM documents))
+       + (SELECT COUNT(*) FROM documents) AS n),
+links_n AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT DISTINCT doc_id, t FROM (
+      SELECT d.doc_id, (d.doc_id * 3 + 1) % p.n_docs AS t FROM documents d, params p
+      UNION ALL
+      SELECT d.doc_id, (d.doc_id * 11 + 7) % p.n_docs FROM documents d, params p))),
+mention_pairs AS (
+  SELECT DISTINCT doc_id, k FROM (
+    SELECT doc_id, doc_id % 97 AS k FROM documents
+    UNION ALL SELECT doc_id, (doc_id*7+13) % 97 FROM documents
+    UNION ALL SELECT doc_id, (doc_id*31+5) % 97 FROM documents WHERE doc_id % 3 = 0)),
+pred_edges AS (
+  SELECT DISTINCT pred, k1, k2 FROM (
+    SELECT upper(['founded','acquired','endorsed','criticized','visited'][(doc_id % 5) + 1]) AS pred,
+           doc_id % 97 AS k1, (doc_id*7+13) % 97 AS k2
+    FROM documents
+    UNION ALL
+    SELECT 'ACQUIRED', doc_id % 97, (doc_id*7+13) % 97 FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'ACQUIRED', doc_id % 97, (doc_id*31+5) % 97 FROM documents WHERE doc_id % 3 = 0))
+SELECT 'CONTAINS' AS type, n FROM contains_n
+UNION ALL SELECT 'LINKS_TO', n FROM links_n
+UNION ALL SELECT 'MENTIONS', COUNT(*) FROM mention_pairs
+UNION ALL SELECT pred, COUNT(*) FROM pred_edges GROUP BY pred"""
+
+
+def q_kg_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-query analogue (O4): top-10 entities by distinct-page
+    mentions, group-count + ORDER BY DESC LIMIT 10."""
+    from gitnexus_spark.operators.graph_queries import top_entities_by_mentions
+
+    out = _run_full_pipeline(spark, sf_dir)
+    return top_entities_by_mentions(out["nodes"], out["edges"], k=10) \
+        .select("name", "n_mentions")
+
+
+SQL_KG_TOP_ENTITIES = """WITH mention_pairs AS (
+  SELECT DISTINCT doc_id, k FROM (
+    SELECT doc_id, doc_id % 97 AS k FROM documents
+    UNION ALL SELECT doc_id, (doc_id*7+13) % 97 FROM documents
+    UNION ALL SELECT doc_id, (doc_id*31+5) % 97 FROM documents WHERE doc_id % 3 = 0))
+SELECT 'E' || CAST(k AS VARCHAR) AS name, COUNT(*) AS n_mentions
+FROM mention_pairs GROUP BY k
+ORDER BY n_mentions DESC, name ASC LIMIT 10"""
+
+
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop traversal (Q4): pages reachable in <=2 LINKS_TO hops from
+    the page of doc 0, with hop distance."""
+    from gitnexus_spark.functions.ids import node_id
+    from gitnexus_spark.operators.graph_queries import k_hop
+
+    out = _run_full_pipeline(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    start = (
+        synth_pages_urls(spark, sf_dir).filter(F.col("doc_id") == 0)
+        .select(node_id("Page", F.col("url")).alias("id"))
+    )
+    hops = k_hop(out["edges"], start, 2, rel_types=["LINKS_TO"],
+                 node_cap=1_000_000)
+    pages_dim = synth_pages_urls(spark, sf_dir).select(
+        node_id("Page", F.col("url")).alias("id"), "doc_id")
+    return hops.join(pages_dim, "id").select("doc_id", "hop")
+
+
+def synth_pages_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), "source", F.lit(".example.org/"), "lang",
+                 F.lit("/s"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit("/p"), F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
+    )
+
+
+SQL_KG_TWO_HOP = """WITH params AS (SELECT COUNT(*) AS n FROM documents),
+h1 AS (SELECT DISTINCT t AS doc_id FROM (
+    SELECT (0 * 3 + 1) % n AS t FROM params
+    UNION ALL SELECT (0 * 11 + 7) % n FROM params) WHERE t != 0),
+h2 AS (SELECT DISTINCT t AS doc_id FROM (
+    SELECT (h1.doc_id * 3 + 1) % p.n AS t FROM h1, params p
+    UNION ALL SELECT (h1.doc_id * 11 + 7) % p.n FROM h1, params p)
+  WHERE t != 0 AND t NOT IN (SELECT doc_id FROM h1))
+SELECT 0::BIGINT AS doc_id, 0 AS hop
+UNION ALL SELECT doc_id, 1 FROM h1
+UNION ALL SELECT doc_id, 2 FROM h2"""
+
+
+def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 path/URL scalar functions: host, path depth, extension."""
+    pages = synth_pages_urls(spark, sf_dir)
+    return pages.select(
+        "doc_id",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        (F.size(F.split(F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1), "/")) - 1)
+            .alias("path_depth"),
+        F.regexp_extract("url", r"\.([a-z0-9]+)$", 1).alias("extension"),
+    )
+
+
+SQL_URL_FUNCTIONS = f"""SELECT doc_id,
+  regexp_extract({SQL_URL}, '^https?://([^/]+)', 1) AS host,
+  len(string_split(regexp_extract({SQL_URL}, '^https?://[^/]+(/.*)$', 1), '/')) - 1 AS path_depth,
+  regexp_extract({SQL_URL}, '\\.([a-z0-9]+)$', 1) AS extension
+FROM documents"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation == plain groupBy (skew op, exactness
+    proven against the unsalted SQL oracle)."""
+    from gitnexus_spark.operators.skew import salted_agg
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e.withColumn("value_d", F.col("value").cast("decimal(18,6)"))
+    out = salted_agg(e, ["event_type"], {"value_d": "sum"}, salts=16)
+    cnt = salted_agg(e, ["event_type"], {"event_id": "count"}, salts=16)
+    return out.join(cnt, "event_type").select(
+        "event_type",
+        F.round(F.col("sum_value_d").cast("double"), 4).alias("total_value"),
+        F.col("count_event_id").alias("n"),
+    )
+
+
+SQL_SALTED_AGG = """SELECT event_type,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+  COUNT(event_id) AS n
+FROM events GROUP BY event_type"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-filter chain: lang whitelist + min token count + quality floor —
+    the training-data corpus-cleaning composition."""
+    from gitnexus_spark.functions.text import with_quality_score, with_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = with_quality_score(with_token_count(docs))
+    return (
+        d.filter(F.col("lang").isin("en", "de", "es", "fr"))
+        .filter(F.col("n_tokens") >= 30)
+        .filter(F.col("quality") >= 0.35)
+        .filter(F.col("is_boilerplate") == 0)
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
+def _sql_quality_filter() -> str:
+    stats = _sql_text_stats()
+    return f"""WITH s AS ({stats})
+SELECT s.doc_id, d.lang, s.n_tokens, s.quality
+FROM s JOIN documents d USING (doc_id)
+WHERE d.lang IN ('en','de','es','fr') AND s.n_tokens >= 30
+  AND s.quality >= 0.35
+  AND length(string_split(d.text, chr(10))[1]) <= 500"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures themselves (hashed to one string per doc)."""
+    from gitnexus_spark.operators.dedup import minhash_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signature(docs, num_hashes=16).select(
+        "doc_id",
+        F.md5(F.expr("concat_ws(',', transform(sig, x -> cast(x as string)))"))
+            .alias("sig_hash"),
+    )
+
+
+def _sql_minhash_signatures() -> str:
+    from gitnexus_spark.operators.dedup import minhash_bases_sql, minhash_sig_sql
+    return f"""WITH sh AS (SELECT doc_id, {_sql_shingles()} AS shingles FROM documents),
+bases AS (SELECT doc_id, {minhash_bases_sql()} AS b FROM sh)
+SELECT doc_id,
+  md5(array_to_string(list_transform({minhash_sig_sql('b', 16)}, x -> CAST(x AS VARCHAR)), ',')) AS sig_hash
+FROM bases"""
+
+
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 COLLECT aggregation: per-user sorted event-type list."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_COLLECT_AGG = """SELECT user_id,
+  array_to_string(list_sort(list(event_type)), ',') AS types,
+  COUNT(*) AS n
+FROM events GROUP BY user_id"""
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 LIMIT/OFFSET pagination with a total order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(20).limit(10)
+        .select("o_orderkey", F.round(F.col("o_totalprice").cast("double"), 2)
+                .alias("price"))
+    )
+
+
+SQL_PAGINATION = """SELECT o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20"""
+
+
 # --------------------------------------------------------------------------
 # classic relational operators (TPC-H-ish tables)
 # --------------------------------------------------------------------------
@@ -606,6 +845,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "kg_structure_counts": q_kg_structure_counts,
         "kg_links": q_kg_links,
+        "kg_edge_counts": q_kg_edge_counts,
+        "kg_top_entities": q_kg_top_entities,
+        "kg_two_hop": q_kg_two_hop,
+        "url_functions": q_url_functions,
+        "salted_agg": q_salted_agg,
+        "quality_filter": q_quality_filter,
+        "minhash_signatures": q_minhash_signatures,
+        "collect_agg": q_collect_agg,
+        "pagination": q_pagination,
         "agg_pricing_summary": q_agg_pricing_summary,
         "top_customers": q_top_customers,
         "window_top_orders": q_window_top_orders,
@@ -636,6 +884,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": SQL_KG_ENTITIES,
         "kg_structure_counts": SQL_KG_STRUCTURE,
         "kg_links": SQL_KG_LINKS,
+        "kg_edge_counts": SQL_KG_EDGE_COUNTS,
+        "kg_top_entities": SQL_KG_TOP_ENTITIES,
+        "kg_two_hop": SQL_KG_TWO_HOP,
+        "url_functions": SQL_URL_FUNCTIONS,
+        "salted_agg": SQL_SALTED_AGG,
+        "quality_filter": _sql_quality_filter(),
+        "minhash_signatures": _sql_minhash_signatures(),
+        "collect_agg": SQL_COLLECT_AGG,
+        "pagination": SQL_PAGINATION,
         "agg_pricing_summary": SQL_AGG_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,
         "window_top_orders": SQL_WINDOW_TOP_ORDERS,

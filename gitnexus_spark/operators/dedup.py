@@ -206,13 +206,20 @@ def simhash(df: DataFrame, text_col: str = "text",
     """
     assert bits <= 32
     words = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    # one md5 per word (not per word x bit): hash first, then read each of
+    # the `bits` hex digits off the cached digests.
+    hashes = f"transform({words}, w -> md5(w))"
     expr = (
         f"transform(sequence(1, {bits}), k -> "
-        f"case when aggregate({words}, 0, (acc, w) -> acc + "
-        f"if(instr('13579bdf', substring(md5(w), k, 1)) > 0, 1, -1)) > 0 "
+        f"case when aggregate(_word_hashes, 0, (acc, h) -> acc + "
+        f"if(instr('13579bdf', substring(h, k, 1)) > 0, 1, -1)) > 0 "
         f"then 1 else 0 end)"
     )
-    return df.withColumn(out_col, F.expr(expr))
+    return (
+        df.withColumn("_word_hashes", F.expr(hashes))
+        .withColumn(out_col, F.expr(expr))
+        .drop("_word_hashes")
+    )
 
 
 def simhash_hex(df: DataFrame, text_col: str = "text",

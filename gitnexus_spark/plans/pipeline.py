@@ -84,6 +84,16 @@ class KGPipeline:
             self._lineage_rows, ["pass", "table", "rows", "wall_sec"]
         )
 
+    def write_lineage(self) -> str:
+        """Persist per-pass counters to <out_dir>/_lineage (append mode —
+        one batch per (re)run, so resume history is auditable). The
+        distributed replacement for the reference's console statistics
+        (call-processor.ts:43-56)."""
+        path = _table(self.out_dir, "_lineage")
+        self.lineage().withColumn("run_ts", F.current_timestamp()) \
+            .write.mode("append").parquet(path)
+        return path
+
     # -- passes ---------------------------------------------------------------
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
         # pass 1: deterministic text extraction (+content hash for dedup)
