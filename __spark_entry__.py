@@ -435,6 +435,46 @@ SQL_COLLECT_AGG = """SELECT user_id,
 FROM events GROUP BY user_id"""
 
 
+def q_blended_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 similarity math: 0.3*jaccard + 0.4*tf-cosine + 0.3*levenshtein
+    blend (reference semantic-similarity.ts:150) on consecutive doc pairs."""
+    from gitnexus_spark.functions.similarity_text import blended_similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, "id_a").filter("id_a < 50")
+    return blended_similarity(pairs).select(
+        "id_a", "id_b", "jaccard", "cosine", "lev_sim", "similarity")
+
+
+def _sql_blended_similarity() -> str:
+    w = "list_sort(string_split(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')), ' '))"
+    wa, wb = w.format(c="a.text"), w.format(c="b.text")
+    sa, sb = f"list_sort(list_distinct({wa}))", f"list_sort(list_distinct({wb}))"
+    jacc = (f"CASE WHEN len({sa}) = 0 AND len({sb}) = 0 THEN 1.0 ELSE "
+            f"CAST(len(list_intersect({sa}, {sb})) AS DOUBLE) / "
+            f"greatest(len(list_distinct(list_concat({sa}, {sb}))), 1) END")
+    tf = (f"list_sum(list_transform(list_sort(list_intersect({sa}, {sb})), t -> "
+          f"CAST(len(list_filter({wa}, x -> x = t)) AS DOUBLE) * "
+          f"CAST(len(list_filter({wb}, x -> x = t)) AS DOUBLE)))")
+    norm = ("sqrt(list_sum(list_transform({s}, t -> "
+            "pow(CAST(len(list_filter({w}, x -> x = t)) AS DOUBLE), 2))))")
+    cos = (f"CASE WHEN len({sa}) = 0 OR len({sb}) = 0 THEN 0.0 ELSE "
+           f"COALESCE({tf}, 0) / greatest({norm.format(s=sa, w=wa)} * {norm.format(s=sb, w=wb)}, 1e-12) END")
+    lev = ("CASE WHEN greatest(length(a.text), length(b.text)) = 0 THEN 1.0 ELSE "
+           "1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / "
+           "greatest(length(a.text), length(b.text)) END")
+    return f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND({jacc}, 6) AS jaccard,
+  ROUND({cos}, 6) AS cosine,
+  ROUND({lev}, 6) AS lev_sim,
+  ROUND(ROUND({jacc}, 6) * 0.3 + ROUND({cos}, 6) * 0.4 + ROUND({lev}, 6) * 0.3, 6) AS similarity
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id < 50"""
+
+
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 LIMIT/OFFSET pagination with a total order."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -854,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "collect_agg": q_collect_agg,
         "pagination": q_pagination,
+        "blended_similarity": q_blended_similarity,
         "agg_pricing_summary": q_agg_pricing_summary,
         "top_customers": q_top_customers,
         "window_top_orders": q_window_top_orders,
@@ -893,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_signatures(),
         "collect_agg": SQL_COLLECT_AGG,
         "pagination": SQL_PAGINATION,
+        "blended_similarity": _sql_blended_similarity(),
         "agg_pricing_summary": SQL_AGG_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,
         "window_top_orders": SQL_WINDOW_TOP_ORDERS,

@@ -66,7 +66,10 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.select(src, dst).toLocalIterator():
+    # single collect (bounded by driver_threshold) — NOT toLocalIterator,
+    # which executes one sequential job per partition and anti-scales
+    # with the session's parallelism
+    for a, b in edges.select(src, dst).collect():
         ra, rb = find(a), find(b)
         if ra != rb:
             # union by min so the root IS the representative

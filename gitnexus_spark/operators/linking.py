@@ -46,10 +46,17 @@ def entity_registry(mentions_df: DataFrame) -> DataFrame:
     analogue (reference src/core/graph/trie.ts:17-33). first_doc uses a
     deterministic min, never "first seen" (which is partition-order
     dependent).
+
+    Skew note: head entities put most mention rows on a handful of names,
+    so a direct groupBy(name).countDistinct(url) funnels them into a few
+    reducers. Decomposed instead as dropDuplicates(name, url) — partial
+    (map-side) dedup on well-distributed composite keys — followed by a
+    plain count per name. Same result, no hot reducer.
     """
+    pairs = mentions_df.select("name", "url").dropDuplicates(["name", "url"])
     return (
-        mentions_df.groupBy("name")
-        .agg(F.countDistinct("url").alias("n_docs"), F.min("url").alias("first_doc"))
+        pairs.groupBy("name")
+        .agg(F.count("url").alias("n_docs"), F.min("url").alias("first_doc"))
         .select(node_id("Entity", F.col("name")).alias("entity_id"),
                 "name", "n_docs", "first_doc")
     )
@@ -110,7 +117,8 @@ def link_mentions(
         F.when(F.col("c1").isNotNull(), F.lit(CONF_EXACT_ALIAS))
          .when(F.col("c2").isNotNull(), F.lit(CONF_GLOBAL_EXACT))
          .otherwise(F.lit(None)).alias("confidence"),
-    )
+    ).localCheckpoint()  # vocab-scale; evaluated once, reused by the
+    #                      isEmpty probe AND both result branches below
 
     still = resolved_exact.filter(F.col("canonical_name").isNull()) \
                           .select("_mid", "doc_url", "name", "role")

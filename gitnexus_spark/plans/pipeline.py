@@ -52,10 +52,15 @@ class KGPipeline:
     """Resumable four-pass pipeline over a pages corpus."""
 
     def __init__(self, spark: SparkSession, out_dir: str,
-                 alias_dict: DataFrame | None = None) -> None:
+                 alias_dict: DataFrame | None = None,
+                 count_rows: bool = True) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.alias_dict = alias_dict
+        # count_rows=False skips the per-pass row-count job (half the jobs
+        # in a run) -- rows land in lineage as -1; use for benchmarking,
+        # keep True in production where lineage counters matter.
+        self.count_rows = count_rows
         self._lineage_rows: list[tuple] = []
 
     # -- lineage ------------------------------------------------------------
@@ -68,7 +73,7 @@ class KGPipeline:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
         out = self.spark.read.parquet(path)
-        rows = out.count() if observe else -1
+        rows = out.count() if (observe and self.count_rows) else -1
         self._lineage_rows.append((name, path, rows, round(time.time() - t0, 3)))
         return out
 
@@ -96,6 +101,13 @@ class KGPipeline:
 
     # -- passes ---------------------------------------------------------------
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+        # Defensive parallelism floor: the pass-1/2 mapInPandas stages are
+        # CPU-bound per document; an under-partitioned input (e.g. one
+        # small parquet file) would serialize them. At cluster scale the
+        # input table's own splits dominate and this is a no-op.
+        target = self.spark.sparkContext.defaultParallelism * 2
+        if pages.rdd.getNumPartitions() < target:
+            pages = pages.repartition(target)
         # pass 1: deterministic text extraction (+content hash for dedup)
         def p1():
             t = extract_text(pages.select("url", "warc_ts", "html", "lang"))

@@ -101,6 +101,11 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
+    # the driver parquet is a single small file -> 1 input split; spread it
+    # so the (Python-bound) render/extract stages use every core
+    target = spark.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
 
     d = docs.select(
         F.col("doc_id"),
