@@ -362,13 +362,13 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = salted_agg(e, ["event_type"], {"event_id": "count"}, salts=16)
     return out.join(cnt, "event_type").select(
         "event_type",
-        F.round(F.col("sum_value_d").cast("double"), 4).alias("total_value"),
+        F.round(F.col("sum_value_d"), 4).cast("string").alias("total_value"),
         F.col("count_event_id").alias("n"),
     )
 
 
 SQL_SALTED_AGG = """SELECT event_type,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS VARCHAR) AS total_value,
   COUNT(event_id) AS n
 FROM events GROUP BY event_type"""
 
@@ -481,12 +481,11 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .offset(20).limit(10)
-        .select("o_orderkey", F.round(F.col("o_totalprice").cast("double"), 2)
-                .alias("price"))
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
     )
 
 
-SQL_PAGINATION = """SELECT o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
+SQL_PAGINATION = """SELECT o_orderkey, o_totalprice AS price
 FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20"""
 
 
@@ -503,18 +502,21 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(q).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(d).cast("double"), 2).alias("sum_base_price"),
-            F.round((F.sum(d).cast("double") / F.count("*")), 4).alias("avg_price"),
+            # decimal sums rounded in decimal -> fixed-scale string (exact on
+            # both engines); avg is an UNROUNDED double division of identical
+            # inputs (identical IEEE op -> bit-identical result)
+            F.round(F.sum(q), 2).cast("string").alias("sum_qty"),
+            F.round(F.sum(d), 2).cast("string").alias("sum_base_price"),
+            (F.sum(d).cast("double") / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
 
 
 SQL_AGG_PRICING = """SELECT l_returnflag, l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS VARCHAR) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS VARCHAR) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
   COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus"""
@@ -527,20 +529,22 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-                     .cast("double"), 2).alias("revenue"),
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+                .alias("revenue_d"),
              F.count("*").alias("n_orders"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .orderBy(F.desc("revenue_d"), F.asc("c_custkey"))
         .limit(10)
+        .select("c_custkey", "c_name",
+                F.col("revenue_d").cast("string").alias("revenue"), "n_orders")
     )
 
 
 SQL_TOP_CUSTOMERS = """SELECT c_custkey, c_name,
-  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS VARCHAR) AS revenue,
   COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
-ORDER BY revenue DESC, c_custkey ASC LIMIT 10"""
+ORDER BY ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) DESC, c_custkey ASC LIMIT 10"""
 
 
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,12 +557,12 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey",
-                F.round(F.col("o_totalprice").cast("double"), 2).alias("price"), "rn")
+                F.col("o_totalprice").alias("price"), "rn")
     )
 
 
 SQL_WINDOW_TOP_ORDERS = """SELECT o_custkey, o_orderkey,
-  ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price, rn
+  o_totalprice AS price, rn
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
 WHERE rn <= 3"""
@@ -624,9 +628,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_id", F.sum("new_sess").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
     )
+    # session_value is a decimal-exact sum, rounded IN DECIMAL and emitted
+    # as a fixed-scale string: Spark round(decimal) and DuckDB ROUND(decimal)
+    # are both HALF_UP with preserved scale, so the hashed value is identical
+    # bit-for-bit — round(double) was last-ulp divergent (VERDICT r01 #1).
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("string")
             .alias("session_value"),
     )
 
@@ -643,7 +651,7 @@ z AS (
   SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS session_id FROM y)
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS session_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS VARCHAR) AS session_value
 FROM z GROUP BY user_id, session_id"""
 
 

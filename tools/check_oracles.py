@@ -21,13 +21,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Columns sorted by name, rows sorted, values stringified at FULL
+    precision (float64 via repr -> shortest round-trip). The driver hashes
+    raw values — rounding here masked last-ulp divergences (VERDICT r01 #1),
+    so this must NOT round."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else "<null>")
         else:
             try:
-                df[c] = df[c].astype("float64").round(6)
+                df[c] = df[c].astype("float64").map(
+                    lambda v: repr(float(v)) if v == v else "<nan>")
             except (TypeError, ValueError):
                 df[c] = df[c].map(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
