@@ -865,14 +865,55 @@ SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 10"""
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN — non-SQL-expressible cheaply; rows-only check,
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """IVF-flat ANN. Leaders are deterministic (lowest 16 ids), so the
+    whole algorithm — assignment argmax, probe selection, in-cell exact
+    top-k — is SQL-expressible and oracle-checked (VERDICT r01 #2/#5);
+    recall vs brute force additionally asserted in tests/test_similarity.py."""
     from gitnexus_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("q_id"),
                                         F.col("embedding").alias("q_vec"))
     return ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine with the same left-to-right fold as the Spark side."""
+    dot = (f"list_sum(list_transform(generate_series(1, len({a})),"
+           f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+    norm = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"({dot}) / ({norm.format(v=a)} * {norm.format(v=b)})"
+
+
+def _sql_ann_ivf() -> str:
+    return f"""WITH leaders AS (
+  SELECT vec_id AS cell_id, embedding AS cell_vec FROM embeddings
+  ORDER BY vec_id LIMIT 16),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, l.cell_id,
+         {_sql_cos('e.embedding', 'l.cell_vec')} AS cs
+  FROM embeddings e CROSS JOIN leaders l),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM assign_scored) WHERE rn <= 1),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+probe_scored AS (
+  SELECT q.q_id, q.q_vec, l.cell_id,
+         {_sql_cos('q.q_vec', 'l.cell_vec')} AS cs
+  FROM q CROSS JOIN leaders l),
+probes AS (
+  SELECT q_id, q_vec, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM probe_scored) WHERE rn <= 4),
+cand AS (
+  SELECT p.q_id, a.vec_id,
+         ROUND({_sql_cos('a.embedding', 'p.q_vec')}, 6) AS score
+  FROM assigned a JOIN probes p USING (cell_id)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 10"""
 
 
 # --------------------------------------------------------------------------
@@ -960,5 +1001,5 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "fingerprint": SQL_FINGERPRINT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
-        # similarity_ann_ivf: rows-only (approximate by design)
+        "similarity_ann_ivf": _sql_ann_ivf(),
     }
