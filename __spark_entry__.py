@@ -62,24 +62,28 @@ def _run_kg_pipeline_light(spark: SparkSession, sf_dir: str):
         return _KG_CACHE[key]
 
     from gitnexus_spark.operators.components import canonical_entities
-    from gitnexus_spark.operators.linking import entity_registry, link_mentions
+    from gitnexus_spark.operators.linking import (entity_registry,
+                                                  name_resolution_map)
 
     pages = synth_pages(spark, sf_dir)
     ext = extract_all(pages).localCheckpoint()   # one corpus scan, shared
     men = mentions(ext)
-    tri = triples(ext)
+    tri = triples(ext)                           # carries samedoc flags
     registry = entity_registry(men)
     ad = alias_dictionary(spark)
-    endpoints = (
+    names = (
         tri.select(F.col("subj").alias("name"))
         .unionByName(tri.select(F.col("obj").alias("name")))
         .dropDuplicates(["name"])
-        .select(F.lit("").alias("doc_url"), "name", F.lit("any").alias("role"))
     )
-    linked = link_mentions(endpoints, registry, ad) \
-        .select("name", "canonical_name", "stage", "confidence").localCheckpoint()
-    canon = canonical_entities(registry, linked, ad).localCheckpoint()
-    out = (pages, ext, men, tri, registry, linked, canon)
+    nmap = name_resolution_map(names, registry, ad).localCheckpoint()
+    fuzzy_linked = nmap.filter(
+        F.col("c_alias").isNull() & F.col("c_exact").isNull()
+        & F.col("c_fuzzy").isNotNull()
+    ).select("name", F.col("c_fuzzy").alias("canonical_name"),
+             F.lit("fuzzy").alias("stage"))
+    canon = canonical_entities(registry, fuzzy_linked, ad).localCheckpoint()
+    out = (pages, ext, men, tri, registry, nmap, canon)
     _KG_CACHE[key] = out
     return out
 
@@ -121,18 +125,79 @@ SQL_KG_TRIPLES_RAW = f"WITH {TRIPLES_RAW_CTE} SELECT doc_url, subj, pred, obj FR
 
 
 def q_kg_triples_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pass-2+3 slice: extraction -> 3-stage linking -> CC canonical."""
-    _, _, _, tri, _, linked, canon = _run_kg_pipeline_light(spark, sf_dir)
-    stagemap = linked.join(canon, "name", "left").select(
-        "name", F.coalesce("canonical", "name").alias("resolved"))
-    s = stagemap.select(F.col("name").alias("subj"), F.col("resolved").alias("subj_c"))
-    o = stagemap.select(F.col("name").alias("obj"), F.col("resolved").alias("obj_c"))
+    """Full pass-2+3 slice: extraction -> 4-stage linking -> CC canonical."""
+    _, _, _, tri, _, _, canon = _run_kg_pipeline_light(spark, sf_dir)
+    s = canon.select(F.col("name").alias("subj"), F.col("canonical").alias("subj_c"))
+    o = canon.select(F.col("name").alias("obj"), F.col("canonical").alias("obj_c"))
     return (
         tri.join(F.broadcast(s), "subj", "left").join(F.broadcast(o), "obj", "left")
         .select("doc_url", "pred",
                 F.coalesce("subj_c", "subj").alias("subj"),
                 F.coalesce("obj_c", "obj").alias("obj"))
     )
+
+
+def q_kg_linking_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + J2 witness: per-(role, stage) endpoint counts through the
+    4-stage linker (alias > same_doc > name_exact > fuzzy), with the
+    same-document stage fed by the scan-local definition flags
+    (reference stageSameFileMatch, call-processor.ts:222-235)."""
+    from gitnexus_spark.operators.linking import stage_columns
+
+    _, _, _, tri, _, nmap, _ = _run_kg_pipeline_light(spark, sf_dir)
+    endpoints = (
+        tri.select("doc_url", F.col("subj").alias("name"),
+                   F.lit("subj").alias("role"),
+                   F.col("subj_samedoc").alias("samedoc"))
+        .unionByName(
+            tri.select("doc_url", F.col("obj").alias("name"),
+                       F.lit("obj").alias("role"),
+                       F.col("obj_samedoc").alias("samedoc")))
+        .dropDuplicates(["doc_url", "name", "role"])
+    )
+    _, stage, conf = stage_columns(
+        F.col("c_alias"), F.coalesce("samedoc", F.lit(False)),
+        F.col("c_exact"), F.col("c_fuzzy"), F.col("name"))
+    return (
+        endpoints.join(F.broadcast(nmap), "name", "left")
+        .select("role", stage.alias("stage"), conf.alias("confidence"))
+        .groupBy("role", "stage", "confidence").agg(F.count("*").alias("n"))
+    )
+
+
+# endpoint universe + samedoc flags derived from the generation arithmetic
+# (synthetic.py): defs(d) = {subject_name(d)} ∪ {Entity_e1 | d%3==0};
+# e2==e1 ⟺ d≡14 (mod 97), e3==e1 ⟺ d≡16 (mod 97).
+SQL_KG_LINKING_STAGES = f"""WITH ep AS (
+  SELECT DISTINCT doc_id, name, role, samedoc FROM (
+    SELECT doc_id, {SQL_SUBJ} AS name, 'subj' AS role, TRUE AS samedoc
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'Entity_' || CAST(doc_id % 97 AS VARCHAR), 'subj', TRUE
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'Entity_' || CAST((doc_id*7+13) % 97 AS VARCHAR), 'obj',
+           (doc_id % 97 = 14) AND ((doc_id % 7 != 6 AND doc_id % 4 != 3) OR doc_id % 3 = 0)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'Entity_' || CAST((doc_id*7+13) % 97 AS VARCHAR), 'obj',
+           (doc_id % 97 = 14) AND ((doc_id % 7 != 6 AND doc_id % 4 != 3) OR doc_id % 3 = 0)
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'Entity_' || CAST((doc_id*31+5) % 97 AS VARCHAR), 'obj',
+           (doc_id % 97 = 16)
+    FROM documents WHERE doc_id % 3 = 0
+  )
+)
+SELECT role,
+  CASE WHEN regexp_matches(name, '^E[0-9]+$') THEN 'alias_exact'
+       WHEN samedoc THEN 'same_doc'
+       ELSE 'name_exact' END AS stage,
+  CASE WHEN regexp_matches(name, '^E[0-9]+$') THEN 1.0
+       WHEN samedoc THEN 0.95
+       ELSE 0.9 END AS confidence,
+  COUNT(*) AS n
+FROM ep GROUP BY 1, 2, 3"""
 
 
 SQL_KG_TRIPLES_RESOLVED = f"""WITH {PAGES_CTE}
@@ -931,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
         "kg_triples_resolved": q_kg_triples_resolved,
+        "kg_linking_stages": q_kg_linking_stages,
         "kg_entities": q_kg_entities,
         "kg_structure_counts": q_kg_structure_counts,
         "kg_links": q_kg_links,
@@ -971,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": SQL_KG_MENTIONS,
         "kg_triples_raw": SQL_KG_TRIPLES_RAW,
         "kg_triples_resolved": SQL_KG_TRIPLES_RESOLVED,
+        "kg_linking_stages": SQL_KG_LINKING_STAGES,
         "kg_entities": SQL_KG_ENTITIES,
         "kg_structure_counts": SQL_KG_STRUCTURE,
         "kg_links": SQL_KG_LINKS,

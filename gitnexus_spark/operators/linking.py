@@ -1,23 +1,32 @@
-"""Pass 3 — three-stage entity linking.
+"""Pass 3 — four-stage entity linking.
 
-Web retarget of GitNexus's 3-stage call resolution
+Web retarget of GitNexus's staged call resolution
 (reference src/core/ingestion/call-processor.ts:146-300):
 
   stage 1  exact alias-dictionary match  (ImportMap lookup,
            call-processor.ts:167-217)        -> broadcast hash join
-  stage 2  same-document exact match        (file-index lookup,
-           call-processor.ts:222-235, trie.ts:119-123) -> equi-join (doc,name)
+  stage 2  same-document definition match   (file-index lookup,
+           call-processor.ts:222-235, trie.ts:119-123) -> the samedoc flag
+           is computed SCAN-LOCAL during extraction (the doc's definition
+           set is in hand there), so this stage costs zero joins
   stage 2b global exact-name match          (trie name index, trie.ts:89-92)
   stage 3  fuzzy candidate blocking + scored top-1
-           (findEndingWith + path-distance scoring,
+           (findEndingWith + import-distance scoring,
            call-processor.ts:240-300, trie.ts:182-208)
            -> character-3-gram blocking join + Jaccard scoring +
-              Window row_number()==1 (W1 in SURVEY §2.5); the blocking is
-              the set-similarity-join analogue of MinHash-LSH banding
+              URL-locality tiebreak (host/path prefix distance — the web
+              analogue of calculateImportDistance's same-file and
+              sibling-directory bonuses) + top-1 window (W1, SURVEY §2.5)
 
 Determinism: the reference picks ``candidates[0]`` (array order —
 nondeterministic under parallelism); we impose a total order
-(score DESC, canonical name ASC) in the top-1 window.
+(score DESC, url-distance ASC, canonical name ASC) in the top-1 window.
+
+Scale shape: everything name-keyed (alias, global exact, fuzzy) runs on
+the DISTINCT-NAME dimension (vocabulary-scale) and broadcasts back onto
+the fact table; the only doc-granular signal (same-doc match) rides on
+the rows themselves as a boolean set during extraction. No fact-table
+shuffle anywhere in linking.
 
 Skew: head entities make both the gram-blocking join and the exact-name
 join skewed. Mitigations: (a) grams with document frequency above
@@ -32,9 +41,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.ids import node_id
+from ..functions.urls import url_distance_expr
 
 CONF_EXACT_ALIAS = 1.0     # ref call-processor.ts stage-1 "exact"
-CONF_SAME_DOC = 0.95
+CONF_SAME_DOC = 0.95       # ref stageSameFileMatch, call-processor.ts:222
 CONF_GLOBAL_EXACT = 0.9
 CONF_FUZZY = 0.6
 
@@ -62,102 +72,54 @@ def entity_registry(mentions_df: DataFrame) -> DataFrame:
     )
 
 
-def link_mentions(
-    unresolved: DataFrame,
+def fuzzy_candidates(
+    probe_names: DataFrame,
     registry: DataFrame,
-    alias_dict: DataFrame | None = None,
     fuzzy_threshold: float = 0.5,
     max_gram_df: int = 10_000,
     ngram: int = 3,
+    locality_col: str | None = None,
 ) -> DataFrame:
-    """Resolve raw surface forms to canonical entities in three stages.
+    """Stage-3 fuzzy matching: n-gram Jaccard blocking + scored top-1.
 
-    unresolved: (doc_url, name, role) — triple endpoints to resolve.
-    registry:   entity_registry() output (the canonical side).
-    alias_dict: (alias, canonical_name), small, broadcast (stage 1).
-
-    Returns (doc_url, name, role, canonical_name, entity_id, stage, confidence)
-    with exactly one row per input row (unresolved rows keep
-    canonical_name = NULL, stage = 'failed' — the reference's failure
-    categorization, call-processor.ts:857-870).
+    probe_names: (name[, locality_col]) distinct unresolved surface forms;
+    when ``locality_col`` is given (a URL, e.g. the mention's page), ties
+    in Jaccard break on url_distance(locality, candidate.first_doc) ASC —
+    the web analogue of the reference's import-distance bonuses
+    (trie.ts:182-208: same-file > sibling-directory > farther).
+    Returns one best candidate per probe row: (name[, locality], c_fuzzy,
+    fuzzy_score).
     """
-    reg_names = registry.select("name").dropDuplicates(["name"])
-    # same-doc index: (doc, name) pairs where the doc itself mentions the name
-    # is supplied by caller via `unresolved` having come from mentions; here we
-    # approximate the file-index with registry.first_doc only when needed.
+    keys = ["name"] + ([locality_col] if locality_col else [])
+    probe_src = probe_names.select(*keys).dropDuplicates(keys)
 
-    m = unresolved.select("doc_url", "name", "role").withColumn(
-        "_mid", F.monotonically_increasing_id()
-    )
-
-    # ---- stage 1: broadcast alias-dictionary join --------------------------
-    if alias_dict is not None:
-        ad = alias_dict.select(F.col("alias").alias("_alias"),
-                               F.col("canonical_name").alias("c1"))
-        s1 = (
-            m.join(F.broadcast(ad), m.name == F.col("_alias"), "left")
-            .select("_mid", "doc_url", "name", "role", "c1")
-        )
-    else:
-        s1 = m.select("_mid", "doc_url", "name", "role",
-                      F.lit(None).cast("string").alias("c1"))
-
-    # ---- stage 2: exact name match against the registry --------------------
-    s2 = (
-        s1.join(reg_names.withColumnRenamed("name", "c2"),
-                s1.name == F.col("c2"), "left")
-    )
-
-    resolved_exact = s2.select(
-        "_mid", "doc_url", "name", "role",
-        F.coalesce("c1", "c2").alias("canonical_name"),
-        F.when(F.col("c1").isNotNull(), F.lit("alias_exact"))
-         .when(F.col("c2").isNotNull(), F.lit("name_exact"))
-         .otherwise(F.lit(None)).alias("stage"),
-        F.when(F.col("c1").isNotNull(), F.lit(CONF_EXACT_ALIAS))
-         .when(F.col("c2").isNotNull(), F.lit(CONF_GLOBAL_EXACT))
-         .otherwise(F.lit(None)).alias("confidence"),
-    ).localCheckpoint()  # vocab-scale; evaluated once, reused by the
-    #                      isEmpty probe AND both result branches below
-
-    still = resolved_exact.filter(F.col("canonical_name").isNull()) \
-                          .select("_mid", "doc_url", "name", "role")
-
-    # short-circuit: when stages 1+2 resolved everything, skip building the
-    # (multi-stage) fuzzy plan entirely — common on clean corpora, and the
-    # empty-probe plan still costs several shuffle rounds of fixed overhead.
-    if still.isEmpty():
-        return resolved_exact.select(
-            "doc_url", "name", "role", "canonical_name",
-            F.when(F.col("canonical_name").isNotNull(),
-                   node_id("Entity", F.col("canonical_name"))).alias("entity_id"),
-            F.coalesce("stage", F.lit("failed")).alias("stage"), "confidence",
-        )
-
-    # ---- stage 3: n-gram Jaccard blocking join -----------------------------
-    def gram_explode(df: DataFrame, name_col: str, id_cols: list[str]) -> DataFrame:
+    def gram_explode(df: DataFrame, id_cols: list[str]) -> DataFrame:
         g = df.select(
             *id_cols,
             F.expr(
-                f"array_distinct(transform(sequence(1, greatest(length({name_col}) - {ngram - 1}, 1)),"
-                f" i -> substring(lower({name_col}), i, {ngram})))"
+                f"array_distinct(transform(sequence(1, greatest(length(name) - {ngram - 1}, 1)),"
+                f" i -> substring(lower(name), i, {ngram})))"
             ).alias("grams"),
         )
         return g.select(*id_cols, F.size("grams").alias("n_grams"),
                         F.explode("grams").alias("gram"))
 
-    probe = gram_explode(still.dropDuplicates(["name"]), "name", ["name"])
-    build = gram_explode(reg_names, "name", ["name"]) \
-        .withColumnRenamed("name", "cand") \
-        .withColumnRenamed("n_grams", "cand_grams")
+    probe = gram_explode(probe_src, keys)
+    build = gram_explode(
+        registry.select("name", "first_doc").withColumnRenamed("name", "cand")
+                .withColumnRenamed("first_doc", "cand_doc")
+                .withColumn("name", F.col("cand")),
+        ["cand", "cand_doc"],
+    )
 
     # prefix-filter: drop ultra-common grams (head-entity skew guard)
     gram_df = build.groupBy("gram").count().filter(F.col("count") <= max_gram_df)
-    build = build.join(gram_df.select("gram"), "gram")
+    build = build.join(gram_df.select("gram"), "gram") \
+                 .withColumnRenamed("n_grams", "cand_grams")
 
     overlaps = (
         probe.join(build, "gram")
-        .groupBy("name", "cand", "n_grams", "cand_grams")
+        .groupBy(*keys, "cand", "cand_doc", "n_grams", "cand_grams")
         .agg(F.count("*").alias("common"))
         .withColumn(
             "jaccard",
@@ -166,26 +128,143 @@ def link_mentions(
         .filter(F.col("jaccard") >= fuzzy_threshold)
         .filter(F.col("name") != F.col("cand"))
     )
-    w = Window.partitionBy("name").orderBy(F.desc("jaccard"), F.asc("cand"))
-    best = (
+    if locality_col:
+        overlaps = overlaps.withColumn(
+            "url_dist", url_distance_expr(F.col(locality_col), F.col("cand_doc")))
+        order = [F.desc("jaccard"), F.asc("url_dist"), F.asc("cand")]
+    else:
+        order = [F.desc("jaccard"), F.asc("cand")]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
         overlaps.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("name", F.col("cand").alias("c3"), F.col("jaccard").alias("fuzzy_score"))
+        .select(*keys, F.col("cand").alias("c_fuzzy"),
+                F.col("jaccard").alias("fuzzy_score"))
     )
 
-    s3 = still.join(best, "name", "left").select(
-        "_mid", "doc_url", "name", "role",
-        F.col("c3").alias("canonical_name"),
-        F.when(F.col("c3").isNotNull(), F.lit("fuzzy")).otherwise(F.lit("failed")).alias("stage"),
-        F.when(F.col("c3").isNotNull(), F.lit(CONF_FUZZY)).otherwise(F.lit(None)).alias("confidence"),
-    )
 
-    out = resolved_exact.filter(F.col("canonical_name").isNotNull()).unionByName(s3)
-    return out.select(
-        "doc_url", "name", "role", "canonical_name",
-        F.when(F.col("canonical_name").isNotNull(),
-               node_id("Entity", F.col("canonical_name"))).alias("entity_id"),
-        "stage", "confidence",
+def name_resolution_map(
+    names: DataFrame,
+    registry: DataFrame,
+    alias_dict: DataFrame | None = None,
+    fuzzy_threshold: float = 0.5,
+    max_gram_df: int = 10_000,
+    ngram: int = 3,
+) -> DataFrame:
+    """The name-keyed half of linking: (name, c_alias, c_exact, c_fuzzy).
+
+    All three columns are candidate canonical names (NULL = that stage
+    found nothing). Vocabulary-scale — computed once, broadcast back onto
+    any fact table. Fuzzy is only attempted for names missing BOTH exact
+    stages (the reference's stage ordering), and skipped entirely when
+    nothing is left (isEmpty short-circuit: an empty fuzzy plan still
+    costs several fixed shuffle rounds).
+    """
+    n = names.select("name").dropDuplicates(["name"])
+    if alias_dict is not None:
+        ad = alias_dict.select(F.col("alias").alias("_alias"),
+                               F.col("canonical_name").alias("c_alias"))
+        m = n.join(F.broadcast(ad), n.name == F.col("_alias"), "left") \
+             .select("name", "c_alias")
+    else:
+        m = n.select("name", F.lit(None).cast("string").alias("c_alias"))
+
+    reg_names = registry.select(F.col("name").alias("c_exact")) \
+                        .dropDuplicates(["c_exact"])
+    m = m.join(reg_names, m.name == F.col("c_exact"), "left") \
+         .select("name", "c_alias", "c_exact").localCheckpoint()
+
+    still = m.filter(F.col("c_alias").isNull() & F.col("c_exact").isNull()) \
+             .select("name")
+    if still.isEmpty():
+        return m.withColumn("c_fuzzy", F.lit(None).cast("string"))
+
+    best = fuzzy_candidates(still, registry, fuzzy_threshold, max_gram_df, ngram)
+    return m.join(best.select("name", "c_fuzzy"), "name", "left")
+
+
+def stage_columns(c_alias: F.Column, samedoc: F.Column, c_exact: F.Column,
+                  c_fuzzy: F.Column, name: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+    """Shared stage-precedence logic -> (canonical_name, stage, confidence).
+
+    Precedence mirrors the reference: alias/import map, then same-document
+    definition, then global exact, then fuzzy, else failed."""
+    canonical = (
+        F.when(c_alias.isNotNull(), c_alias)
+        .when(samedoc, name)
+        .when(c_exact.isNotNull(), c_exact)
+        .otherwise(c_fuzzy)
+    )
+    stage = (
+        F.when(c_alias.isNotNull(), F.lit("alias_exact"))
+        .when(samedoc, F.lit("same_doc"))
+        .when(c_exact.isNotNull(), F.lit("name_exact"))
+        .when(c_fuzzy.isNotNull(), F.lit("fuzzy"))
+        .otherwise(F.lit("failed"))
+    )
+    confidence = (
+        F.when(c_alias.isNotNull(), F.lit(CONF_EXACT_ALIAS))
+        .when(samedoc, F.lit(CONF_SAME_DOC))
+        .when(c_exact.isNotNull(), F.lit(CONF_GLOBAL_EXACT))
+        .when(c_fuzzy.isNotNull(), F.lit(CONF_FUZZY))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return canonical, stage, confidence
+
+
+def link_mentions(
+    unresolved: DataFrame,
+    registry: DataFrame,
+    alias_dict: DataFrame | None = None,
+    fuzzy_threshold: float = 0.5,
+    max_gram_df: int = 10_000,
+    ngram: int = 3,
+    samedoc_col: str | None = None,
+    doc_definitions: DataFrame | None = None,
+) -> DataFrame:
+    """Resolve raw surface forms to canonical entities in four stages.
+
+    unresolved: (doc_url, name, role[, samedoc]) — endpoints to resolve.
+    registry:   entity_registry() output (the canonical side).
+    alias_dict: (alias, canonical_name), small, broadcast (stage 1).
+    samedoc_col: boolean column on `unresolved` marking endpoints whose
+        name matches a definition in the SAME document (precomputed
+        scan-local by extract_corpus — the zero-join path).
+    doc_definitions: alternative same-doc signal as a (doc_url, name)
+        index; left-joined on (doc_url, name) when samedoc_col is absent.
+        At scale both sides should be co-partitioned by doc_url.
+
+    Returns (doc_url, name, role, canonical_name, entity_id, stage,
+    confidence) with exactly one row per input row (unresolved rows keep
+    canonical_name = NULL, stage = 'failed' — the reference's failure
+    categorization, call-processor.ts:857-870).
+    """
+    m = unresolved
+    if samedoc_col is not None:
+        m = m.withColumn("_samedoc", F.coalesce(F.col(samedoc_col), F.lit(False)))
+    elif doc_definitions is not None:
+        defs = doc_definitions.select("doc_url", "name") \
+            .dropDuplicates(["doc_url", "name"]).withColumn("_samedoc", F.lit(True))
+        m = m.join(defs, ["doc_url", "name"], "left") \
+             .withColumn("_samedoc", F.coalesce("_samedoc", F.lit(False)))
+    else:
+        m = m.withColumn("_samedoc", F.lit(False))
+
+    nmap = name_resolution_map(m.select("name"), registry, alias_dict,
+                               fuzzy_threshold, max_gram_df, ngram)
+    canonical, stage, confidence = stage_columns(
+        F.col("c_alias"), F.col("_samedoc"), F.col("c_exact"),
+        F.col("c_fuzzy"), F.col("name"))
+    return (
+        m.join(F.broadcast(nmap), "name", "left")
+        .select(
+            "doc_url", "name", "role",
+            canonical.alias("canonical_name"),
+            F.when(canonical.isNotNull(),
+                   node_id("Entity", canonical)).alias("entity_id"),
+            stage.alias("stage"),
+            confidence.alias("confidence"),
+        )
     )
 
 
@@ -201,15 +280,20 @@ def link_triples(
     subj/obj are canonical names. Unresolvable endpoints keep the raw
     surface form (stage='failed'), mirroring the reference's behavior of
     keeping unresolved calls out of the CALLS edge set but counting them
-    (call-processor.ts:93-119).
+    (call-processor.ts:93-119). Uses the samedoc flags when the input
+    came from extract_corpus.
     """
-    subj = triples_df.select(F.col("doc_url"), F.col("subj").alias("name")) \
-                     .withColumn("role", F.lit("subj"))
-    obj = triples_df.select(F.col("doc_url"), F.col("obj").alias("name")) \
-                    .withColumn("role", F.lit("obj"))
+    has_flags = "subj_samedoc" in triples_df.columns
+    subj = triples_df.select(
+        "doc_url", F.col("subj").alias("name"), F.lit("subj").alias("role"),
+        (F.col("subj_samedoc") if has_flags else F.lit(False)).alias("samedoc"))
+    obj = triples_df.select(
+        "doc_url", F.col("obj").alias("name"), F.lit("obj").alias("role"),
+        (F.col("obj_samedoc") if has_flags else F.lit(False)).alias("samedoc"))
     endpoints = subj.unionByName(obj).dropDuplicates(["doc_url", "name", "role"])
 
-    linked = link_mentions(endpoints, registry, alias_dict, **kw)
+    linked = link_mentions(endpoints, registry, alias_dict,
+                           samedoc_col="samedoc", **kw)
 
     ls = linked.filter(F.col("role") == "subj").select(
         "doc_url", F.col("name").alias("subj"),

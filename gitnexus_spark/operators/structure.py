@@ -26,6 +26,54 @@ HOST_RE = r"^[a-z]+://([^/]+)"
 PATH_RE = r"^[a-z]+://[^/]+(/.*)$"
 
 
+def _squash_path(path_expr: str) -> str:
+    """SQL expr: normalize '.'/'..'/'//' segments of a path string.
+
+    '' and '.' segments are dropped; '..' pops the accumulator (bounded at
+    root, like browsers). Returns '/seg1/seg2/...'. Pure fold — codegen'd,
+    no UDF."""
+    segs = f"filter(split({path_expr}, '/'), s -> s != '' AND s != '.')"
+    squashed = (
+        f"aggregate({segs}, cast(array() as array<string>), (acc, s) -> "
+        f"if(s = '..', slice(acc, 1, greatest(size(acc) - 1, 0)), "
+        f"concat(acc, array(s))))"
+    )
+    return f"concat('/', array_join({squashed}, '/'))"
+
+
+def normalize_link_targets(links: DataFrame, base_col: str = "url",
+                           target_col: str = "target_url") -> DataFrame:
+    """Resolve relative hrefs against the source page URL (P7 — the web
+    analogue of the reference's relative-import resolution with ./ and ../
+    handling + candidate probing, import-processor.ts:522-606).
+
+    Handles: absolute http(s) (pass-through), scheme-relative '//h/p',
+    root-relative '/p', and document-relative './p', '../p', 'p' — all
+    with '.'/'..' squashing. Fragments are stripped; hrefs with any other
+    scheme (mailto:, javascript:, data:) are dropped (they can never
+    resolve to a Page). Everything is a single expression chain over the
+    links projection — no UDF, no shuffle.
+    """
+    href = f"split({target_col}, '#')[0]"
+    scheme = f"regexp_extract({base_col}, '^([a-z]+)://', 1)"
+    host = f"regexp_extract({base_col}, '{HOST_RE}', 1)"
+    base_path = f"regexp_extract({base_col}, '{PATH_RE}', 1)"
+    base_dir = f"regexp_extract({base_path}, '^(.*/)[^/]*$', 1)"
+    norm = f"""CASE
+      WHEN {href} IS NULL OR {href} = '' THEN NULL
+      WHEN {href} rlike '^https?://' THEN {href}
+      WHEN {href} rlike '^[a-zA-Z][a-zA-Z0-9+.-]*:' THEN NULL
+      WHEN {href} rlike '^//' THEN concat({scheme}, ':', {href})
+      WHEN {href} rlike '^/' THEN concat({scheme}, '://', {host}, {_squash_path(href)})
+      ELSE concat({scheme}, '://', {host},
+                  {_squash_path(f"concat({base_dir}, {href})")})
+    END"""
+    other = [c for c in links.columns if c != target_col]
+    return links.select(*other, F.expr(norm).alias(target_col)) \
+                .filter(F.col(target_col).isNotNull()) \
+                .select(*links.columns)
+
+
 def structure_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """pages(url, ...) -> (nodes, edges) of the containment hierarchy.
 

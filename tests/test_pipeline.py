@@ -59,11 +59,18 @@ def test_resolved_triples_match_formula_oracle(spark, pipeline_out):
 
 
 def test_all_stages_resolve(pipeline_out):
+    """Stage attribution follows the reference precedence (J2): subjects
+    are definitions of their own doc -> same_doc (or alias when the
+    surface form is an alias); objects hit same_doc only when the doc
+    defines them, else the global exact stage."""
     out, _, _ = pipeline_out
-    stages = {r["subj_stage"] for r in
-              out["triples_resolved"].select("subj_stage").distinct().collect()}
-    assert "failed" not in stages
-    assert "alias_exact" in stages and "name_exact" in stages
+    subj_stages = {r["subj_stage"] for r in
+                   out["triples_resolved"].select("subj_stage").distinct().collect()}
+    obj_stages = {r["obj_stage"] for r in
+                  out["triples_resolved"].select("obj_stage").distinct().collect()}
+    assert "failed" not in subj_stages | obj_stages
+    assert subj_stages == {"alias_exact", "same_doc"}
+    assert "name_exact" in obj_stages and "same_doc" in obj_stages
 
 
 def test_resume_skips_committed_passes(spark, sf_dir, pipeline_out):

@@ -35,7 +35,7 @@ spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=32,
                   extra_conf={"spark.driver.memory": "24g"})
 pages = replicate_pages(synth_pages(spark, sf_dir), rep).repartition(64).persist()
 n_docs = pages.count()
-pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark), count_rows=False)
+pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark))
 t0 = time.time()
 out = pipe.run(pages)
 wall = time.time() - t0
