@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from gitnexus_spark.operators.extract import (MENTION_PATTERN, STOP_ENTITIES,
                                               extract_all, mentions, triples)
-from gitnexus_spark.synthetic import (SQL_SUBJ, SQL_TEXT, SQL_URL,
+from gitnexus_spark.synthetic import (SQL_PRED, SQL_SUBJ, SQL_TEXT, SQL_URL,
                                       alias_dictionary, synth_pages)
 
 # --------------------------------------------------------------------------
@@ -397,6 +397,55 @@ UNION ALL SELECT doc_id, 1 FROM h1
 UNION ALL SELECT doc_id, 2 FROM h2"""
 
 
+def q_kg_paths_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 paths-between-two-nodes (reference pathsBetween, query.ts:154-197):
+    all shortest LINKS_TO paths from page of doc 0 to page of doc 13,
+    maxDepth 6 / maxPaths 3, deterministic path order. Node ids are mapped
+    to doc ids first so the oracle can walk the generation arithmetic."""
+    from gitnexus_spark.functions.ids import node_id
+    from gitnexus_spark.operators.graph_queries import paths_between
+
+    out = _run_full_pipeline(spark, sf_dir)
+    pages_dim = synth_pages_urls(spark, sf_dir).select(
+        node_id("Page", F.col("url")).alias("id"), "doc_id")
+    lt = out["edges"].filter(F.col("type") == "LINKS_TO")
+    doc_edges = (
+        lt.join(pages_dim.withColumnRenamed("id", "src")
+                         .withColumnRenamed("doc_id", "src_doc"), "src")
+          .join(pages_dim.withColumnRenamed("id", "dst")
+                         .withColumnRenamed("doc_id", "dst_doc"), "dst")
+          .select(F.col("src_doc").alias("src"), F.col("dst_doc").alias("dst"))
+    )
+    start = spark.createDataFrame([(0,)], "id bigint")
+    end = spark.createDataFrame([(13,)], "id bigint")
+    p = paths_between(doc_edges, start, end, max_depth=6, max_paths=3)
+    return p.select(
+        F.expr("array_join(transform(path, x -> cast(x as string)), ',')")
+            .alias("path"),
+        "hops")
+
+
+SQL_KG_PATHS_BETWEEN = """WITH RECURSIVE
+params AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*3+1) % n AS dst FROM documents, params
+  UNION
+  SELECT doc_id, (doc_id*11+7) % n FROM documents, params),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS head, [CAST(0 AS BIGINT)] AS path, 0 AS hops
+  UNION ALL
+  SELECT e.dst, list_append(w.path, e.dst), w.hops + 1
+  FROM walk w JOIN e ON e.src = w.head
+  WHERE w.hops < 6 AND NOT list_contains(w.path, e.dst) AND w.head != 13),
+hits AS (SELECT path, hops FROM walk WHERE head = 13),
+m AS (SELECT MIN(hops) AS mh FROM hits)
+SELECT array_to_string(list_transform(path, x -> CAST(x AS VARCHAR)), ',') AS path,
+       hops
+FROM hits, m WHERE hops = m.mh
+ORDER BY array_to_string(list_transform(path, x -> CAST(x AS VARCHAR)), ',')
+LIMIT 3"""
+
+
 def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 path/URL scalar functions: host, path depth, extension."""
     pages = synth_pages_urls(spark, sf_dir)
@@ -414,6 +463,93 @@ SQL_URL_FUNCTIONS = f"""SELECT doc_id,
   len(string_split(regexp_extract({SQL_URL}, '^https?://[^/]+(/.*)$', 1), '/')) - 1 AS path_depth,
   regexp_extract({SQL_URL}, '\\.([a-z0-9]+)$', 1) AS extension
 FROM documents"""
+
+
+def q_kg_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 tightest-containing-span winner (reference call-processor.ts:
+    771-802): every mention attributed to the smallest same-document
+    triple span containing it."""
+    from gitnexus_spark.operators.spans import tightest_containing_span
+
+    _, ext, men, *_ = _run_kg_pipeline_light(spark, sf_dir)
+    spans = (
+        ext.filter(F.col("item") == "triple")
+        .select("url", F.col("start").alias("t_start"), F.col("end").alias("t_end"))
+        .dropDuplicates(["url", "t_start", "t_end"])
+    )
+    att = tightest_containing_span(men, spans)
+    pages_dim = synth_pages_urls(spark, sf_dir)
+    return att.join(pages_dim, "url").select("doc_id", "name", "t_start", "t_end")
+
+
+# offsets derived from compose_text() string arithmetic (synthetic.py):
+# sentence1 = subj ' ' pred ' ' obj1 '.'; sentence2 (d%3==0) at base b.
+SQL_KG_SPAN_ATTRIBUTION = f"""WITH base AS (
+  SELECT doc_id,
+         {SQL_SUBJ} AS subj1,
+         {SQL_PRED} AS pred,
+         'Entity_' || CAST((doc_id*7+13) % 97 AS VARCHAR) AS obj1,
+         'Entity_' || CAST(doc_id % 97 AS VARCHAR) AS e1n,
+         'Entity_' || CAST((doc_id*31+5) % 97 AS VARCHAR) AS e3n,
+         (doc_id % 7 != 6 AND doc_id % 4 != 3) AS canonical,
+         (doc_id % 97 = 14) AS e1eq2,
+         (doc_id % 97 = 16) AS e1eq3,
+         ((doc_id*7+13) % 97 = (doc_id*31+5) % 97) AS e2eq3,
+         (doc_id % 3 = 0) AS has_s2
+  FROM documents),
+off AS (
+  SELECT *,
+         length(subj1) AS l1,
+         length(subj1) + 1 + length(pred) + 1 AS o1s,
+         length(subj1) + 1 + length(pred) + 1 + length(obj1) AS t1e,
+         -- sentence2 base: len(sentence1) + 1 (sentence1 ends with '.')
+         length(subj1) + 1 + length(pred) + 1 + length(obj1) + 2 AS b,
+         length(e1n) + 10 + length(obj1) + 5 + length(e3n) AS s2len
+  FROM base)
+SELECT doc_id, name, t_start, t_end FROM (
+  SELECT doc_id, subj1 AS name, 0 AS t_start, t1e AS t_end FROM off
+  UNION ALL
+  SELECT doc_id, obj1, 0, t1e FROM off
+  WHERE NOT (canonical AND e1eq2)
+  UNION ALL
+  SELECT doc_id, e1n, b, b + s2len FROM off
+  WHERE has_s2 AND NOT canonical AND NOT e1eq2
+  UNION ALL
+  SELECT doc_id, e3n, b, b + s2len FROM off
+  WHERE has_s2 AND NOT e1eq3 AND NOT e2eq3
+)"""
+
+
+IGNORE_PACK_TEST = [
+    ("section_7", r"/s7/"),
+    ("lang_zh", r"/zh/"),
+    ("hidden_path", r"/\."),
+    ("src1x_host", r"^https?://src1[0-9]\."),
+]
+
+
+def q_ignore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F9 ignore-pattern pack (domain/path blacklist, rules-as-data —
+    reference language-config.ts:165-199 + structure-processor.ts:303-375):
+    audit mode returns each blacklisted page with the first matching rule."""
+    from gitnexus_spark.operators.filters import ignore_filter
+
+    pages = synth_pages_urls(spark, sf_dir).select("doc_id", "url")
+    return ignore_filter(pages, IGNORE_PACK_TEST, keep_matches=True) \
+        .select("doc_id", "matched_rule")
+
+
+SQL_IGNORE_FILTER = f"""WITH p AS (
+  SELECT doc_id, {SQL_URL} AS url, lang FROM documents)
+SELECT doc_id,
+  CASE WHEN url LIKE '%/s7/%' THEN 'section_7'
+       WHEN lang = 'zh' THEN 'lang_zh'
+       WHEN url LIKE '%/.%' THEN 'hidden_path'
+       WHEN regexp_matches(url, '^https?://src1[0-9]\\.') THEN 'src1x_host'
+       END AS matched_rule
+FROM p
+WHERE url LIKE '%/s7/%' OR lang = 'zh' OR url LIKE '%/.%'
+   OR regexp_matches(url, '^https?://src1[0-9]\\.')"""
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,6 +1139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_counts": q_kg_edge_counts,
         "kg_top_entities": q_kg_top_entities,
         "kg_two_hop": q_kg_two_hop,
+        "kg_paths_between": q_kg_paths_between,
+        "kg_span_attribution": q_kg_span_attribution,
+        "ignore_filter": q_ignore_filter,
         "url_functions": q_url_functions,
         "salted_agg": q_salted_agg,
         "quality_filter": q_quality_filter,
@@ -1044,6 +1183,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_counts": SQL_KG_EDGE_COUNTS,
         "kg_top_entities": SQL_KG_TOP_ENTITIES,
         "kg_two_hop": SQL_KG_TWO_HOP,
+        "kg_paths_between": SQL_KG_PATHS_BETWEEN,
+        "kg_span_attribution": SQL_KG_SPAN_ATTRIBUTION,
+        "ignore_filter": SQL_IGNORE_FILTER,
         "url_functions": SQL_URL_FUNCTIONS,
         "salted_agg": SQL_SALTED_AGG,
         "quality_filter": _sql_quality_filter(),

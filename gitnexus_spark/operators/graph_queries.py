@@ -77,13 +77,17 @@ def k_hop(edges: DataFrame, start_ids: DataFrame, k: int,
     frontier = visited
 
     for depth in range(1, min(k, MAX_PATH_DEPTH * 2) + 1):
+        # cap DETERMINISTICALLY: orderBy(id).limit is TakeOrdered — which
+        # nodes survive an over-cap frontier no longer depends on partition
+        # order (a bare .limit() did, breaking the determinism invariant)
         nxt = (
             frontier.join(adj, frontier.id == adj.from_id)
             .select(F.col("to_id").alias("id"))
             .dropDuplicates(["id"])
             .join(visited.select("id"), "id", "left_anti")
-            .withColumn("hop", F.lit(depth))
+            .orderBy("id")
             .limit(node_cap)
+            .withColumn("hop", F.lit(depth))
             .localCheckpoint()
         )
         if nxt.isEmpty():
@@ -92,6 +96,72 @@ def k_hop(edges: DataFrame, start_ids: DataFrame, k: int,
         frontier = nxt
     adj.unpersist()
     return visited
+
+
+def paths_between(edges: DataFrame, start_ids: DataFrame, end_ids: DataFrame,
+                  max_depth: int = 6, max_paths: int = 3,
+                  rel_types: list[str] | None = None) -> DataFrame:
+    """Paths between two node sets (Q5, reference query.ts:154-197
+    ``pathsBetween``, maxDepth 6 / maxPaths 3).
+
+    The reference runs sequential BFS with a GLOBAL visited set, so which
+    path it returns depends on adjacency-array insertion order —
+    nondeterministic under its own parallelism. The Spark contract is the
+    deterministic closure of that: ALL cycle-free shortest paths from
+    start to end (hops == minimum), ordered by path, capped at max_paths.
+
+    Level-synchronous expansion with array_contains cycle pruning; stops
+    at the first level that reaches an end node (never enumerates deeper).
+    Each level is one join; the end-set probe is a broadcast semi-join.
+    Scale note: caps (max_depth<=6, max_paths) are the reference's own
+    cost model; for dense hub graphs swap in per-node best-path dedup per
+    level (frontier bounded by |V|) before the product can grow.
+
+    Returns (path: array<id>, hops).
+    """
+    e = edges
+    if rel_types:
+        e = e.filter(F.col("type").isin(rel_types))
+    adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id")) \
+        .dropDuplicates(["from_id", "to_id"]).persist()
+    end = end_ids.select(F.col("id").alias("_end")).dropDuplicates(["_end"])
+
+    frontier = start_ids.select(
+        F.array(F.col("id")).alias("path"),
+        F.col("id").alias("head_id"),
+        F.lit(0).alias("hops"),
+    ).localCheckpoint()
+
+    # trivial case: start node IS an end node (reference returns empty path)
+    found = frontier.join(F.broadcast(end), frontier.head_id == F.col("_end"), "semi")
+    if found.isEmpty():
+        found = None
+        for depth in range(1, max_depth + 1):
+            frontier = (
+                frontier.join(adj, frontier.head_id == adj.from_id)
+                .filter(~F.array_contains(F.col("path"), F.col("to_id")))
+                .select(
+                    F.concat(F.col("path"), F.array(F.col("to_id"))).alias("path"),
+                    F.col("to_id").alias("head_id"),
+                    F.lit(depth).alias("hops"),
+                )
+                .localCheckpoint()
+            )
+            if frontier.isEmpty():
+                break
+            hits = frontier.join(F.broadcast(end),
+                                 frontier.head_id == F.col("_end"), "semi")
+            if not hits.isEmpty():
+                found = hits    # first (= shortest) level only
+                break
+    adj.unpersist()
+    if found is None:
+        return frontier.filter(F.lit(False)).select("path", "hops")
+    return (
+        found.orderBy(F.col("path").cast("string"))
+        .limit(max_paths)
+        .select("path", "hops")
+    )
 
 
 def var_length_paths(edges: DataFrame, start_ids: DataFrame, rel_type: str,

@@ -1,0 +1,168 @@
+"""Round-2 operators: paths_between (Q5), ignore pack (F3/F9), tightest
+span (W3), relative-URL normalization (P7), URL-distance fuzzy locality.
+
+Golden fixtures are hand-enumerable, mirroring the reference's test style
+(kuzu-integration.test.ts:36-41).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- Q5 paths_between (reference query.ts:154-197) --------------------------
+
+@pytest.fixture(scope="module")
+def diamond_edges(spark):
+    # a -> b -> d, a -> c -> d (two shortest), plus a longer a->e->f->d
+    rows = [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"),
+            ("a", "e"), ("e", "f"), ("f", "d")]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def _paths(spark, edges, s, t, **kw):
+    from gitnexus_spark.operators.graph_queries import paths_between
+
+    start = spark.createDataFrame([(s,)], ["id"])
+    end = spark.createDataFrame([(t,)], ["id"])
+    return [(list(r["path"]), r["hops"])
+            for r in paths_between(edges, start, end, **kw).collect()]
+
+
+def test_paths_between_all_shortest_sorted(spark, diamond_edges):
+    got = _paths(spark, diamond_edges, "a", "d")
+    # both 2-hop paths, path-string order; the 3-hop path is NOT returned
+    assert got == [(["a", "b", "d"], 2), (["a", "c", "d"], 2)]
+
+
+def test_paths_between_max_paths_cap(spark, diamond_edges):
+    got = _paths(spark, diamond_edges, "a", "d", max_paths=1)
+    assert got == [(["a", "b", "d"], 2)]
+
+
+def test_paths_between_depth_bound(spark, diamond_edges):
+    assert _paths(spark, diamond_edges, "a", "d", max_depth=1) == []
+
+
+def test_paths_between_start_is_end(spark, diamond_edges):
+    assert _paths(spark, diamond_edges, "a", "a") == [(["a"], 0)]
+
+
+def test_paths_between_unreachable(spark, diamond_edges):
+    assert _paths(spark, diamond_edges, "d", "a") == []
+
+
+def test_paths_between_cycle_pruned(spark):
+    rows = [("a", "b"), ("b", "a"), ("b", "c")]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    assert _paths(spark, e, "a", "c") == [(["a", "b", "c"], 2)]
+
+
+# --- F3/F9 ignore pack -------------------------------------------------------
+
+def test_ignore_filter_drops_and_audits(spark):
+    from gitnexus_spark.operators.filters import ignore_filter
+
+    urls = [
+        "https://tracker.example.org/x.html",        # tracker_host
+        "https://a.org/ads/banner.html",             # ad_path
+        "https://a.org/.git/config",                 # hidden_path
+        "https://a.org/assets/site.css",             # asset_ext
+        "https://a.org/cal/2024/01/index.html",      # calendar_trap
+        "https://a.org/good/page.html",              # survives
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    kept = {r["url"] for r in ignore_filter(df).collect()}
+    assert kept == {"https://a.org/good/page.html"}
+    audit = {r["url"]: r["matched_rule"]
+             for r in ignore_filter(df, keep_matches=True).collect()}
+    assert audit["https://tracker.example.org/x.html"] == "tracker_host"
+    assert audit["https://a.org/ads/banner.html"] == "ad_path"
+    assert audit["https://a.org/.git/config"] == "hidden_path"
+
+
+# --- W3 tightest containing span ---------------------------------------------
+
+def test_tightest_span_nested_and_tiebreak(spark):
+    from gitnexus_spark.operators.spans import tightest_containing_span
+
+    items = spark.createDataFrame(
+        [("d1", "m1", 10, 12), ("d1", "m2", 50, 55), ("d2", "m3", 0, 2)],
+        ["url", "name", "start", "end"])
+    spans = spark.createDataFrame(
+        [("d1", 0, 100), ("d1", 5, 20),      # nested: [5,20) is tighter for m1
+         ("d1", 40, 60), ("d1", 45, 65),     # same length 20: start ASC wins for m2
+         ("d2", 5, 9)],                      # does not contain m3
+        ["url", "t_start", "t_end"])
+    got = {r["name"]: (r["t_start"], r["t_end"])
+           for r in tightest_containing_span(items, spans).collect()}
+    assert got == {"m1": (5, 20), "m2": (40, 60)}  # m3 unattributable -> dropped
+
+
+# --- P7 relative-URL normalization -------------------------------------------
+
+def test_normalize_link_targets(spark):
+    from gitnexus_spark.operators.structure import normalize_link_targets
+
+    base = "https://h.org/en/s1/p5.html"
+    cases = [
+        ("https://x.org/a.html", "https://x.org/a.html"),        # absolute
+        ("//cdn.org/a.html", "https://cdn.org/a.html"),          # scheme-rel
+        ("/top.html", "https://h.org/top.html"),                 # root-rel
+        ("./p6.html", "https://h.org/en/s1/p6.html"),            # same dir
+        ("../s2/p7.html", "https://h.org/en/s2/p7.html"),        # parent
+        ("../../de/s0/p1.html#frag", "https://h.org/de/s0/p1.html"),
+        ("p8.html", "https://h.org/en/s1/p8.html"),              # bare rel
+        ("../../../../up.html", "https://h.org/up.html"),        # over-pop -> root
+        ("mailto:x@y.z", None),                                  # dropped
+        ("javascript:void(0)", None),                            # dropped
+    ]
+    df = spark.createDataFrame([(base, href) for href, _ in cases],
+                               ["url", "target_url"])
+    got = {r["target_url"] for r in normalize_link_targets(df).collect()}
+    expected = {want for _, want in cases if want is not None}
+    assert got == expected
+
+
+# --- URL-distance locality in fuzzy linking ----------------------------------
+
+def test_url_distance_expr(spark):
+    from gitnexus_spark.functions.urls import url_distance_expr
+
+    rows = [
+        ("https://h.org/a/p1.html", "https://h.org/a/p1.html", 0),
+        ("https://h.org/a/p1.html", "https://h.org/a/p2.html", 1),
+        ("https://h.org/a/p1.html", "https://h.org/b/p2.html", 2),
+        ("https://h.org/a/p1.html", "https://x.org/a/p1.html", 3),
+        ("https://h.org/a/p1.html", None, 3),
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in rows], ["a", "b"])
+    got = [r["d"] for r in
+           df.select(url_distance_expr(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert got == [want for *_, want in rows]
+
+
+def test_fuzzy_winner_flips_on_locality(spark):
+    """Two candidates with IDENTICAL Jaccard: the one whose first_doc is
+    closer to the probing page wins (reference import-distance bonuses,
+    trie.ts:182-208) — and flips when the probe moves."""
+    from gitnexus_spark.operators.linking import entity_registry, fuzzy_candidates
+
+    m = spark.createDataFrame(
+        [("https://h.org/a/p1.html", "Acme Corp A", 0, 1),
+         ("https://h.org/b/p9.html", "Acme Corp B", 0, 1)],
+        ["url", "name", "start", "end"])
+    reg = entity_registry(m)
+
+    def winner(probe_doc):
+        probes = spark.createDataFrame([("Acme Corp X", probe_doc)],
+                                       ["name", "doc_url"])
+        out = fuzzy_candidates(probes, reg, locality_col="doc_url").collect()
+        return out[0]["c_fuzzy"]
+
+    # probe in /a -> candidate defined in /a wins; probe in /b -> /b wins
+    assert winner("https://h.org/a/p2.html") == "Acme Corp A"
+    assert winner("https://h.org/b/p7.html") == "Acme Corp B"
+    # without locality, lexicographic min (A) wins regardless
+    probes = spark.createDataFrame([("Acme Corp X",)], ["name"])
+    got = fuzzy_candidates(probes, reg).collect()[0]["c_fuzzy"]
+    assert got == "Acme Corp A"
