@@ -92,10 +92,19 @@ def decode_assets(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
                     rows.append((aid, url, mt, 0, None, None, None, None, None))
                     continue
                 b = bytes(payload)
-                if _HAVE_PIL and mt == "image":
-                    raise NotImplementedError(
-                        "real image decode path: wire PIL.Image.open here")
                 w, hgt, nf, feat = _fake_decode(b, mt)
+                if _HAVE_PIL and mt == "image":
+                    # real metadata when PIL can decode the payload; any
+                    # failure (fake bytes, truncated image) falls back to
+                    # the deterministic stand-in instead of failing tasks
+                    try:
+                        import io
+
+                        import PIL.Image
+                        with PIL.Image.open(io.BytesIO(b)) as img:
+                            w, hgt = img.width, img.height
+                    except Exception:
+                        pass
                 rows.append((aid, url, mt, len(b),
                              hashlib.sha256(b).hexdigest(), w, hgt, nf, feat))
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])

@@ -4,17 +4,15 @@ Not present in the reference (its call resolution links each call to one
 definition); required by the north star to merge coreferent entity surface
 forms ("Entity_5" / "E5" / "Entity-5") into one canonical node.
 
-Algorithm: iterative min-label propagation over the undirected alias graph
-— each vertex repeatedly adopts min(own label, neighbors' labels) until a
-fixpoint. Alias graphs have tiny diameter (alias -> canonical chains of
-length ≤ 3), so this converges in a handful of joins; for adversarial
-long-chain graphs the large-star/small-star variant (Kiveris et al.;
-see BTS, ICDE 2024 in PAPERS.md) bounds rounds at O(log n) — the hook
-below (``max_iter``) is where that swap lands.
+Distributed algorithm: alternating large-star / small-star (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014; see also
+BTS, ICDE 2024 in PAPERS.md) — O(log n) rounds on ANY graph shape,
+including adversarial long chains where plain min-label propagation needs
+O(diameter) rounds. Each round is two grouped aggregations + joins keyed
+on vertex id.
 
-Scale notes: each iteration is one shuffle keyed on vertex id;
-``localCheckpoint`` cuts the lineage so plans stay flat; convergence is
-detected with an aggregate (no collect of vertex data).
+Scale notes: ``localCheckpoint`` cuts lineage so plans stay flat;
+convergence is an exceptAll emptiness probe (no collect of vertex data).
 """
 
 from __future__ import annotations
@@ -23,15 +21,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-DRIVER_CC_MAX_EDGES = 2_000_000
+DRIVER_CC_MAX_EDGES = 500_000
 
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 50,
     driver_threshold: int = DRIVER_CC_MAX_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (vertex, component) with component = min vertex id
     (string min) reachable in the undirected graph. Isolated vertices absent
@@ -42,15 +41,15 @@ def connected_components(
     ``driver_threshold`` edges a single-pass driver union-find is far
     cheaper than iterated shuffles (each distributed round costs several
     small jobs regardless of data size). Above the threshold the
-    distributed min-label-propagation loop below takes over — identical
-    results, O(diameter) rounds.
+    distributed large-star/small-star loop takes over — identical
+    results, O(log n) rounds.
     """
     n_edges = edges.count()
     if n_edges == 0:
         return edges.sparkSession.createDataFrame([], "vertex string, component string")
     if n_edges <= driver_threshold:
         return _driver_union_find(edges, src, dst)
-    return _distributed_min_label(edges, src, dst, max_iter)
+    return _large_small_star(edges, src, dst, max_iter, stats)
 
 
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -80,48 +79,67 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return edges.sparkSession.createDataFrame(rows, "vertex string, component string")
 
 
-def _distributed_min_label(
-    edges: DataFrame, src: str, dst: str, max_iter: int
+def _large_small_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int,
+    stats: dict | None = None,
 ) -> DataFrame:
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .dropDuplicates(["a", "b"])
-        .persist()
-    )
-    labels = (
-        sym.select(F.col("a").alias("vertex"))
-        .dropDuplicates(["vertex"])
-        .withColumn("component", F.col("vertex"))
+    """Alternating large-star/small-star rounds (Kiveris et al., SoCC'14).
+
+    large-star: every vertex attaches its STRICTLY-LARGER neighbors to
+    min(Γ(u) ∪ {u}); small-star: orient edges large->small, attach all
+    smaller neighbors (and itself) to the min. The edge set converges to
+    one star per component whose center is the component minimum —
+    O(log n) rounds regardless of diameter.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
         .localCheckpoint()
     )
-
+    prev = None
+    rounds = 0
     for _ in range(max_iter):
-        # candidate labels flowing along edges: neighbor's current component
-        neigh = (
-            sym.join(labels.withColumnRenamed("vertex", "b")
-                           .withColumnRenamed("component", "nbr_comp"), "b")
-            .groupBy("a").agg(F.min("nbr_comp").alias("min_nbr"))
-            .withColumnRenamed("a", "vertex")
+        rounds += 1
+        # ---- large star ----
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+               .dropDuplicates(["u", "v"])
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")) \
+                  .select("u", F.least("u", "mn").alias("m"))
+        lg = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
         )
-        new_labels = (
-            labels.join(neigh, "vertex", "left")
-            .select("vertex",
-                    F.least("component", F.coalesce("min_nbr", "component"))
-                     .alias("component"))
+        # ---- small star ----
+        o = lg.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")) \
+              .filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+        mins2 = o.groupBy("u").agg(F.min("v").alias("mn"))
+        sm = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .unionByName(mins2.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels
+        if prev is not None:
+            changed = not sm.exceptAll(prev).unionByName(prev.exceptAll(sm)).isEmpty()
+            if not changed:
+                break
+        prev = e = sm
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged star graph: (u -> component min) pairs + the roots themselves
+    return (
+        e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("vertex"), F.col("v").alias("component")))
+        .dropDuplicates(["vertex", "component"])
+    )
 
 
 NORM_KEY_SQL = "regexp_replace(lower(name), '[^a-z0-9]', '')"

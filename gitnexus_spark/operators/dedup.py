@@ -165,16 +165,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """Exact Jaccard similarity join blocked on shared shingles.
 
     Returns (id_a, id_b, jaccard) for pairs >= threshold, id_a < id_b.
-    Ultra-frequent shingles (df > max_shingle_df) are excluded from
-    BLOCKING only; Jaccard stays exact because it is computed from the
-    full per-doc shingle counts.
+    Ultra-frequent shingles (df > max_shingle_df) are excluded from the
+    UNIVERSE consistently: both the intersection count AND the per-doc
+    set sizes (na/nb) are computed post-filter, so the score is the exact
+    Jaccard over the filtered shingle universe (== exact Jaccard whenever
+    no shingle is hot; the previous mixed-universe version underestimated
+    pairs that shared hot shingles).
     """
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n) \
-        .select(F.col(id_col).alias("id"), "shingles") \
-        .withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("id", "n_sh", F.explode("shingles").alias("sh"))
+        .select(F.col(id_col).alias("id"), "shingles")
+    ex = sh.select("id", F.explode("shingles").alias("sh"))
     hot = ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
     ex = ex.join(hot.select("sh"), "sh", "left_anti")
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ex = ex.join(sizes, "id")
     pairs = (
         ex.alias("a").join(ex.alias("b"), "sh")
         .filter(F.col("a.id") < F.col("b.id"))

@@ -24,12 +24,18 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, key_col: str, salts: int,
               salt_col: str = "_salt") -> DataFrame:
-    """Deterministic uniform salt derived from a second-level hash of the
-    key + a row-discriminating column set (all columns), so identical keys
-    spread while runs stay reproducible."""
+    """Uniform salt = hash(key, monotonically_increasing_id) mod salts.
+
+    The per-row id is a GENUINE row discriminator, so even byte-identical
+    duplicate rows of a hub key spread across reducers (hashing the column
+    values alone would send them to one reducer). Salt values depend on
+    partition layout, which is safe by construction: every consumer
+    (salted_agg, salted_join) produces results exactly equal to the
+    unsalted plan for ANY salt assignment — the salt only controls
+    partial-stage fan-out."""
     return df.withColumn(
         salt_col,
-        F.pmod(F.crc32(F.concat_ws("\x1f", *[F.col(c) for c in df.columns])),
+        F.pmod(F.hash(F.col(key_col), F.monotonically_increasing_id()),
                F.lit(salts)).cast("int"),
     )
 

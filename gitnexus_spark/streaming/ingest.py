@@ -46,16 +46,24 @@ def streaming_extract(pages_stream: DataFrame,
 
 def start_extraction_stream(pages_stream: DataFrame, out_dir: str,
                             checkpoint_dir: str, watermark: str = "1 hour"):
-    """foreachBatch sink: per micro-batch the batch operators run and
-    append; restart resumes from the streaming checkpoint (offset log),
-    complementing the batch pipeline's per-pass parquet checkpoints."""
-    extracted = streaming_extract(pages_stream, watermark)
+    """foreachBatch sink: each micro-batch is handed to the SAME batch
+    extraction operator (extract_all) and appended to the extracted table
+    — one code path for batch and streaming. Restart resumes from the
+    streaming checkpoint (offset log), complementing the batch pipeline's
+    per-pass parquet checkpoints."""
+    deduped = (
+        pages_stream
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        extract_all(batch_df).write.mode("append").parquet(out_dir)
+
     return (
-        extracted.writeStream
+        deduped.writeStream
+        .foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
         .trigger(availableNow=True)
         .start()
     )

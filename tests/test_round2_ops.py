@@ -98,6 +98,29 @@ def test_tightest_span_nested_and_tiebreak(spark):
     assert got == {"m1": (5, 20), "m2": (40, 60)}  # m3 unattributable -> dropped
 
 
+# --- large-star/small-star CC (distributed path) ------------------------------
+
+def test_large_small_star_chain_olog_rounds(spark):
+    """A 1000-chain has diameter 1000: min-label propagation needs ~1000
+    rounds; large-star/small-star must converge in O(log n) with results
+    identical to union-find."""
+    from gitnexus_spark.operators.components import (_driver_union_find,
+                                                     connected_components)
+
+    n = 1000
+    rows = [(f"c{i:04d}", f"c{i+1:04d}") for i in range(n - 1)] + [("x1", "x2")]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    stats = {}
+    comp = connected_components(edges, driver_threshold=0, stats=stats)
+    got = {r["vertex"]: r["component"] for r in comp.collect()}
+    assert stats["rounds"] <= 16  # ~log2(1000) + slack, NOT O(diameter)
+    assert all(got[f"c{i:04d}"] == "c0000" for i in range(n))
+    assert got["x1"] == got["x2"] == "x1"
+    uf = {r["vertex"]: r["component"]
+          for r in _driver_union_find(edges, "src", "dst").collect()}
+    assert got == uf
+
+
 # --- P7 relative-URL normalization -------------------------------------------
 
 def test_normalize_link_targets(spark):
