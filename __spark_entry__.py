@@ -552,6 +552,75 @@ WHERE url LIKE '%/s7/%' OR lang = 'zh' OR url LIKE '%/.%'
    OR regexp_matches(url, '^https?://src1[0-9]\\.')"""
 
 
+def q_url_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/locality: url_distance between each page and its first nav
+    target (the stage-3 fuzzy tiebreak signal, trie.ts:182-208 analogue).
+    Same url -> 0, same dir -> 1, same host -> 2, else 3."""
+    from gitnexus_spark.functions.urls import url_distance_expr
+
+    p = synth_pages_urls(spark, sf_dir)
+    n = p.count()
+    t = p.select(F.col("doc_id").alias("tid"), F.col("url").alias("t_url"))
+    pairs = p.withColumn("tid", (F.col("doc_id") * 3 + 1) % n) \
+             .join(F.broadcast(t), "tid")
+    return pairs.select(
+        "doc_id", url_distance_expr(F.col("url"), F.col("t_url")).alias("dist"))
+
+
+def _sql_url_distance() -> str:
+    # target doc: (doc_id*3+1) % n; same host <=> same source; same dir
+    # <=> same (source, lang, doc_id%10); same url <=> same doc_id
+    return f"""WITH params AS (SELECT COUNT(*) AS n FROM documents),
+p AS (SELECT doc_id, source, lang, doc_id % 10 AS sec FROM documents),
+t AS (SELECT doc_id AS tid, source AS t_source, lang AS t_lang,
+             doc_id % 10 AS t_sec FROM documents)
+SELECT p.doc_id,
+  CASE WHEN p.doc_id = tid THEN 0
+       WHEN p.source = t_source AND p.lang = t_lang AND p.sec = t_sec THEN 1
+       WHEN p.source = t_source THEN 2
+       ELSE 3 END AS dist
+FROM p, params JOIN t ON t.tid = (p.doc_id * 3 + 1) % params.n"""
+
+
+def q_normalize_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 relative-URL normalization: hrefs constructed in every relative
+    form (bare, ./, ../, root-relative, fragment) resolve against the
+    page url to the same absolute target the generation arithmetic
+    predicts (reference import-processor.ts:522-606)."""
+    from gitnexus_spark.operators.structure import normalize_link_targets
+
+    p = synth_pages_urls(spark, sf_dir)
+    n = p.count()
+    t = p.select(F.col("doc_id").alias("tid"), F.col("url").alias("t_url"))
+    pairs = p.withColumn("tid", (F.col("doc_id") * 3 + 1) % n) \
+             .join(F.broadcast(t), "tid")
+    # four deterministic relative renderings of the SAME logical link;
+    # forms that need shared host/lang/section are emitted conditionally
+    same_dir = F.regexp_extract("url", r"^(.*/)[^/]*$", 1) == \
+        F.regexp_extract("t_url", r"^(.*/)[^/]*$", 1)
+    same_host = F.regexp_extract("url", r"^https?://([^/]+)", 1) == \
+        F.regexp_extract("t_url", r"^https?://([^/]+)", 1)
+    t_path = F.regexp_extract("t_url", r"^https?://[^/]+(/.*)$", 1)
+    t_file = F.regexp_extract("t_url", r"([^/]+)$", 1)
+    up2 = F.concat(F.lit("../../"),
+                   F.regexp_extract("t_url", r"^https?://[^/]+/(.*)$", 1))
+    href = F.when(same_dir, F.concat(F.lit("./"), t_file)) \
+            .when(same_host, up2) \
+            .otherwise(F.concat("t_url", F.lit("#frag")))
+    links = pairs.select("doc_id", "url", href.alias("target_url"))
+    out = normalize_link_targets(links)
+    return out.select("doc_id", "target_url")
+
+
+def _sql_normalize_links() -> str:
+    url = SQL_URL
+    return f"""WITH params AS (SELECT COUNT(*) AS n FROM documents),
+p AS (SELECT doc_id, source, lang, doc_id % 10 AS sec FROM documents),
+t AS (SELECT doc_id AS tid, {url} AS t_url FROM documents)
+SELECT p.doc_id, t.t_url AS target_url
+FROM p, params JOIN t ON t.tid = (p.doc_id * 3 + 1) % params.n"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage aggregation == plain groupBy (skew op, exactness
     proven against the unsalted SQL oracle)."""
@@ -1142,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_paths_between": q_kg_paths_between,
         "kg_span_attribution": q_kg_span_attribution,
         "ignore_filter": q_ignore_filter,
+        "url_distance": q_url_distance,
+        "normalize_links": q_normalize_links,
         "url_functions": q_url_functions,
         "salted_agg": q_salted_agg,
         "quality_filter": q_quality_filter,
@@ -1186,6 +1257,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,
         "kg_span_attribution": SQL_KG_SPAN_ATTRIBUTION,
         "ignore_filter": SQL_IGNORE_FILTER,
+        "url_distance": _sql_url_distance(),
+        "normalize_links": _sql_normalize_links(),
         "url_functions": SQL_URL_FUNCTIONS,
         "salted_agg": SQL_SALTED_AGG,
         "quality_filter": _sql_quality_filter(),
