@@ -11,6 +11,8 @@ over joins, caps carried over from query-optimization.ts:412-422.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,6 +25,35 @@ def register_views(nodes: DataFrame, edges: DataFrame) -> None:
     whole Cypher layer (entry point C, SURVEY §3.3)."""
     nodes.createOrReplaceTempView("nodes")
     edges.createOrReplaceTempView("edges")
+
+
+AUTO_LIMIT = 1000
+_LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
+
+
+def guarded_sql(spark, sql: str, auto_limit: int = AUTO_LIMIT) -> DataFrame:
+    """O5 auto-LIMIT guardrail (reference query-optimization.ts:412-422
+    appends LIMIT to unbounded queries): statements with no LIMIT anywhere
+    get `LIMIT auto_limit` appended, bounding accidental full-result
+    materialization at the SQL entry point. Conservative: any LIMIT in
+    the text (even in a subquery) disables the rewrite."""
+    s = sql.strip().rstrip(";")
+    if not _LIMIT_RE.search(s):
+        s = f"{s} LIMIT {auto_limit}"
+    return spark.sql(s)
+
+
+def write_adjacency_bucketed(edges: DataFrame, table: str,
+                             buckets: int = 64) -> None:
+    """Q3 adjacency indexing at rest: persist the edge table bucketed AND
+    sorted by src (plus type partitioning upstream). Frontier joins and
+    degree scans against a bucketed table co-locate on bucket id —
+    Catalyst elides the exchange on the bucketed side; at 10^12 edges
+    that is the difference between one scan and a full shuffle. (The
+    reference's in-memory Map adjacency index, query.ts:30-60, has no
+    at-rest analogue — this is the Spark-native equivalent.)"""
+    edges.write.bucketBy(buckets, "src").sortBy("src") \
+        .mode("overwrite").format("parquet").saveAsTable(table)
 
 
 def match_pattern(nodes: DataFrame, edges: DataFrame, rel_type: str,
