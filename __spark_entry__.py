@@ -520,6 +520,36 @@ SELECT doc_id, name, t_start, t_end FROM (
 )"""
 
 
+def q_kg_extraction_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parsing diagnostics: per-doc extraction yields, oracle-derived
+    from the generation arithmetic."""
+    from gitnexus_spark.operators.extract import extraction_diagnostics
+
+    pages, ext, *_ = _run_kg_pipeline_light(spark, sf_dir)
+    d = extraction_diagnostics(ext, pages.select("url", "text"))
+    pages_dim = synth_pages_urls(spark, sf_dir)
+    return d.join(pages_dim, "url").select(
+        "doc_id", "n_mentions", "n_triples", "n_links", "text_chars")
+
+
+SQL_KG_EXTRACTION_DIAG = f"""WITH b AS (
+  SELECT doc_id,
+         {SQL_SUBJ} AS subj1,
+         'Entity_' || CAST((doc_id*7+13) % 97 AS VARCHAR) AS obj1,
+         'Entity_' || CAST(doc_id % 97 AS VARCHAR) AS e1n,
+         'Entity_' || CAST((doc_id*31+5) % 97 AS VARCHAR) AS e3n,
+         (doc_id % 3 = 0) AS has_s2,
+         length({SQL_TEXT}) AS text_chars
+  FROM documents)
+SELECT doc_id,
+  len(list_distinct([subj1, obj1]
+      || CASE WHEN has_s2 THEN [e1n, e3n] ELSE [] END)) AS n_mentions,
+  1 + CASE WHEN has_s2 THEN 2 ELSE 0 END AS n_triples,
+  2 AS n_links,
+  text_chars
+FROM b"""
+
+
 IGNORE_PACK_TEST = [
     ("section_7", r"/s7/"),
     ("lang_zh", r"/zh/"),
@@ -1210,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "kg_paths_between": q_kg_paths_between,
         "kg_span_attribution": q_kg_span_attribution,
+        "kg_extraction_diagnostics": q_kg_extraction_diagnostics,
         "ignore_filter": q_ignore_filter,
         "url_distance": q_url_distance,
         "normalize_links": q_normalize_links,
@@ -1256,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_two_hop": SQL_KG_TWO_HOP,
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,
         "kg_span_attribution": SQL_KG_SPAN_ATTRIBUTION,
+        "kg_extraction_diagnostics": SQL_KG_EXTRACTION_DIAG,
         "ignore_filter": SQL_IGNORE_FILTER,
         "url_distance": _sql_url_distance(),
         "normalize_links": _sql_normalize_links(),

@@ -235,6 +235,26 @@ def triples(extracted: DataFrame) -> DataFrame:
     )
 
 
+def extraction_diagnostics(extracted: DataFrame,
+                           pages_text: DataFrame | None = None) -> DataFrame:
+    """A9 parsing diagnostics (reference per-file parse statistics,
+    parsing-processor.ts console counters): per-document extraction
+    yields — (url, n_mentions, n_triples, n_links[, text_chars]).
+
+    One grouped aggregation over the (already url-partitioned) extracted
+    table; conditional sums, no extra scans.
+    """
+    d = extracted.filter(F.col("item") != "page").groupBy("url").agg(
+        F.sum((F.col("item") == "mention").cast("int")).alias("n_mentions"),
+        F.sum((F.col("item") == "triple").cast("int")).alias("n_triples"),
+        F.sum((F.col("item") == "link").cast("int")).alias("n_links"),
+    )
+    if pages_text is not None:
+        d = d.join(pages_text.select("url", F.length("text").alias("text_chars")),
+                   "url", "left")
+    return d
+
+
 def links(extracted: DataFrame) -> DataFrame:
     """(url, target_url, anchor) hyperlink edges — the IMPORTS analogue
     (reference import-processor.ts:611-645)."""
