@@ -51,6 +51,19 @@ def matched_rule(patterns: list[tuple[str, str]] | None = None,
     return expr
 
 
+# F7 — config-file predicate (reference parsing-processor.ts:234-252:
+# named config files + .json). Web analogue: machine-readable site-config
+# resources that should be routed to config handling, not text extraction.
+CONFIG_PAGE_RE = (r"(/robots\.txt|/sitemap[^/]*\.xml|/manifest\.json"
+                  r"|/\.well-known/|/feed\.(xml|rss|atom)|/opensearch\.xml)([?#]|$)")
+
+
+def is_config_page(url_col: str = "url") -> Column:
+    """TRUE for site-config resources (robots.txt, sitemaps, manifests,
+    .well-known, feeds) — the F7 predicate, codegen'd rlike."""
+    return F.col(url_col).rlike(CONFIG_PAGE_RE)
+
+
 def ignore_filter(pages: DataFrame,
                   patterns: list[tuple[str, str]] | None = None,
                   url_col: str = "url", keep_matches: bool = False) -> DataFrame:

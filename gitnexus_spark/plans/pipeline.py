@@ -142,16 +142,24 @@ class KGPipeline:
         raw_triples = ex.triples(corpus)
         page_links = ex.links(corpus)
 
-        # pass 1b: structure graph over the (pruned) page projection
-        struct_nodes = self._load_or(
-            "struct_nodes", lambda: structure_graph(pages_text.select("url"))[0])
-        struct_edges = self._load_or(
-            "struct_edges", lambda: structure_graph(pages_text.select("url"))[1])
+        # pass 1b + registry: three INDEPENDENT children of the corpus table,
+        # submitted concurrently (Spark's scheduler runs parallel jobs); the
+        # small-job driver latency overlaps instead of serializing — at N
+        # cores a 1-task stage otherwise idles N-1 cores (the measured
+        # fixed-cost term that capped N->4N scaling efficiency).
+        from concurrent.futures import ThreadPoolExecutor
 
-        # pass 3: registry -> name-resolution map -> CC canonicalization
         def p3_registry():
             return entity_registry(mentions)
-        registry = self._load_or("entities", p3_registry)
+
+        with ThreadPoolExecutor(3) as pool:
+            f_sn = pool.submit(self._load_or, "struct_nodes",
+                               lambda: structure_graph(pages_text.select("url"))[0])
+            f_se = pool.submit(self._load_or, "struct_edges",
+                               lambda: structure_graph(pages_text.select("url"))[1])
+            f_reg = pool.submit(self._load_or, "entities", p3_registry)
+            struct_nodes, struct_edges, registry = \
+                f_sn.result(), f_se.result(), f_reg.result()
 
         # 3a: the name-keyed resolution map (alias / global-exact / fuzzy)
         # over DISTINCT endpoint surface forms — vocabulary-scale, broadcast
@@ -214,8 +222,6 @@ class KGPipeline:
                 (F.coalesce(s_conf, F.lit(0.0)) * F.coalesce(o_conf, F.lit(0.0)))
                     .alias("confidence"),
             )
-        resolved = self._load_or("triples_resolved", p3_resolved)
-
         # pass 4: final nodes/edges, partitioned by label / type
         def p4_nodes():
             ents = (
@@ -228,7 +234,12 @@ class KGPipeline:
                 )
             )
             return struct_nodes.unionByName(ents).dropDuplicates(["id"])
-        nodes = self._load_or("nodes", p4_nodes, partition_by=["label"])
+
+        # triples_resolved and nodes are independent given canon: overlap them
+        with ThreadPoolExecutor(2) as pool:
+            f_res = pool.submit(self._load_or, "triples_resolved", p3_resolved)
+            f_nodes = pool.submit(self._load_or, "nodes", p4_nodes, ["label"])
+            resolved, nodes = f_res.result(), f_nodes.result()
 
         def p4_edges():
             page_ids = pages_text.select(

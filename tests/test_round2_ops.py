@@ -98,6 +98,20 @@ def test_tightest_span_nested_and_tiebreak(spark):
     assert got == {"m1": (5, 20), "m2": (40, 60)}  # m3 unattributable -> dropped
 
 
+def test_is_config_page(spark):
+    from gitnexus_spark.operators.filters import is_config_page
+
+    rows = [("https://a.org/robots.txt", True),
+            ("https://a.org/sitemap_index.xml", True),
+            ("https://a.org/.well-known/security.txt", True),
+            ("https://a.org/feed.rss", True),
+            ("https://a.org/page.html", False),
+            ("https://a.org/robots.txt.html", False)]
+    df = spark.createDataFrame([(u,) for u, _ in rows], ["url"])
+    got = [r["c"] for r in df.select(is_config_page().alias("c")).collect()]
+    assert got == [want for _, want in rows]
+
+
 # --- large-star/small-star CC (distributed path) ------------------------------
 
 def test_large_small_star_chain_olog_rounds(spark):

@@ -22,6 +22,7 @@ RUNNER = r"""
 import json, shutil, sys, time
 sys.path.insert(0, ".")
 cpus, rep, sf_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "pipeline"
 from gitnexus_spark.session import get_spark
 from gitnexus_spark.synthetic import synth_pages, alias_dictionary
 from gitnexus_spark.plans.pipeline import KGPipeline
@@ -35,12 +36,19 @@ spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=32,
                   extra_conf={"spark.driver.memory": "24g"})
 pages = replicate_pages(synth_pages(spark, sf_dir), rep).repartition(64).persist()
 n_docs = pages.count()
-pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark))
 t0 = time.time()
-out = pipe.run(pages)
+if mode == "extract":
+    # the compute-dominated path alone: fused pass-1+2 corpus scan
+    from gitnexus_spark.operators.extract import extract_corpus
+    extract_corpus(pages).write.format("noop").mode("overwrite").save()
+    n_triples = -1
+else:
+    pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark))
+    out = pipe.run(pages)
+    n_triples = out["triples_resolved"].count()
 wall = time.time() - t0
-n_triples = out["triples_resolved"].count()
 print(json.dumps({"cpus": cpus, "docs": n_docs, "triples": n_triples,
+                  "mode": mode,
                   "wall_sec": round(wall, 2),
                   "docs_per_sec": round(n_docs / wall, 1),
                   "triples_per_sec": round(n_triples / wall, 1)}))
@@ -62,10 +70,10 @@ def wait_for_quiet(max_wait_sec: int = 600, threshold: float = 3.0) -> None:
         _t.sleep(15)
 
 
-def run_level(cpus: int, rep: int, sf_dir: str) -> dict:
+def run_level(cpus: int, rep: int, sf_dir: str, mode: str = "pipeline") -> dict:
     wait_for_quiet()
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cpus), str(rep), sf_dir],
+        [sys.executable, "-c", RUNNER, str(cpus), str(rep), sf_dir, mode],
         capture_output=True, text=True, timeout=3600, cwd=".",
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -100,6 +108,10 @@ def main() -> None:
         add_single_trial(int(sys.argv[2]), int(sys.argv[3]),
                          sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1")
         return
+    mode = "pipeline"
+    if len(sys.argv) > 1 and sys.argv[1] == "extract":
+        mode = "extract"
+        sys.argv.pop(1)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     rep = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
@@ -113,7 +125,7 @@ def main() -> None:
     ledger = _ledger_load()
     for _ in range(trials):
         for cpus in (n, 4 * n):
-            r = run_level(cpus, rep, sf_dir)
+            r = run_level(cpus, rep, sf_dir, mode)
             r.update({"rep": rep, "sf_dir": sf_dir})
             ledger.append(r)
             with open(LEDGER, "w") as f:
@@ -121,18 +133,20 @@ def main() -> None:
 
     def best(cpus: int) -> dict:
         matching = [r for r in ledger
-                    if r["cpus"] == cpus and r["rep"] == rep and r["sf_dir"] == sf_dir]
+                    if r["cpus"] == cpus and r["rep"] == rep
+                    and r["sf_dir"] == sf_dir
+                    and r.get("mode", "pipeline") == mode]
         return min(matching, key=lambda r: r["wall_sec"])
 
     lo, hi = best(n), best(4 * n)
     eff = round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3)
-    result = {"N": n, "4N": 4 * n, "rep": rep, "sf_dir": sf_dir,
+    result = {"N": n, "4N": 4 * n, "rep": rep, "sf_dir": sf_dir, "mode": mode,
               "low": lo, "high": hi, "scaling_efficiency": eff}
     print(json.dumps(result, indent=2))
 
     with open("BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run (N={n} -> 4N={4*n}, {lo['docs']} docs, {sf_dir})\n\n"
+            f"\n## Scaling run [{mode}] (N={n} -> 4N={4*n}, {lo['docs']} docs, {sf_dir})\n\n"
             f"| cores | wall (s) | docs/sec | triples/sec |\n|---|---|---|---|\n"
             f"| {n} | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo['triples_per_sec']} |\n"
             f"| {4*n} | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi['triples_per_sec']} |\n\n"
