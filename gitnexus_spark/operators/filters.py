@@ -55,7 +55,8 @@ def matched_rule(patterns: list[tuple[str, str]] | None = None,
 # named config files + .json). Web analogue: machine-readable site-config
 # resources that should be routed to config handling, not text extraction.
 CONFIG_PAGE_RE = (r"(/robots\.txt|/sitemap[^/]*\.xml|/manifest\.json"
-                  r"|/\.well-known/|/feed\.(xml|rss|atom)|/opensearch\.xml)([?#]|$)")
+                  r"|/feed\.(xml|rss|atom)|/opensearch\.xml)([?#]|$)"
+                  r"|/\.well-known/")
 
 
 def is_config_page(url_col: str = "url") -> Column:

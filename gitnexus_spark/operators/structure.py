@@ -30,7 +30,9 @@ def _squash_path(path_expr: str) -> str:
     """SQL expr: normalize '.'/'..'/'//' segments of a path string.
 
     '' and '.' segments are dropped; '..' pops the accumulator (bounded at
-    root, like browsers). Returns '/seg1/seg2/...'. Pure fold — codegen'd,
+    root, like browsers; RFC 3986 remove_dot_segments semantics, except
+    empty segments collapse). Directory-form inputs (trailing '/', or
+    ending in '.'/'..') keep their trailing slash. Pure fold — codegen'd,
     no UDF."""
     segs = f"filter(split({path_expr}, '/'), s -> s != '' AND s != '.')"
     squashed = (
@@ -38,7 +40,10 @@ def _squash_path(path_expr: str) -> str:
         f"if(s = '..', slice(acc, 1, greatest(size(acc) - 1, 0)), "
         f"concat(acc, array(s))))"
     )
-    return f"concat('/', array_join({squashed}, '/'))"
+    core = f"array_join({squashed}, '/')"
+    is_dir = f"({path_expr} rlike '(/|/\\\\.|/\\\\.\\\\.|^\\\\.|^\\\\.\\\\.)$')"
+    return (f"concat('/', {core}, "
+            f"CASE WHEN {is_dir} AND {core} != '' THEN '/' ELSE '' END)")
 
 
 def normalize_link_targets(links: DataFrame, base_col: str = "url",

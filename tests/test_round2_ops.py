@@ -160,6 +160,37 @@ def test_normalize_link_targets(spark):
     assert got == expected
 
 
+def test_normalize_link_targets_vs_urljoin(spark):
+    """Cross-check against the stdlib resolver (urllib.parse.urljoin) over
+    a generated grid of path-form hrefs. Scope: http(s), non-empty,
+    no query-only hrefs, no intentionally-preserved empty segments (we
+    collapse '//' in paths; RFC leaves them — a documented normalization)."""
+    import itertools
+    from urllib.parse import urljoin
+
+    from gitnexus_spark.operators.structure import normalize_link_targets
+
+    bases = ["https://h.org/a/b/c.html", "https://h.org/a/", "https://h.org/x.html"]
+    seg = ["p", "q2", "..", "."]
+    hrefs = set()
+    for parts in itertools.chain(itertools.product(seg, repeat=1),
+                                 itertools.product(seg, repeat=2),
+                                 itertools.product(seg, repeat=3)):
+        s = "/".join(parts)
+        hrefs.update({s, "./" + s, "/" + s, s + "/", s + "#frag"})
+    cases = [(b, h) for b in bases for h in sorted(hrefs)]
+    df = spark.createDataFrame(cases, ["url", "target_url"])
+    got = {(r["url"], r["_raw"]): r["target_url"]
+           for r in normalize_link_targets(
+               df.withColumn("_raw", F.col("target_url"))).collect()}
+    bad = []
+    for b, h in cases:
+        want = urljoin(b, h.split("#")[0])
+        if got.get((b, h)) != want:
+            bad.append((b, h, got.get((b, h)), want))
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+
+
 # --- URL-distance locality in fuzzy linking ----------------------------------
 
 def test_url_distance_expr(spark):
