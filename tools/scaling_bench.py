@@ -27,13 +27,21 @@ from gitnexus_spark.session import get_spark
 from gitnexus_spark.synthetic import synth_pages, alias_dictionary
 from gitnexus_spark.plans.pipeline import KGPipeline
 from bench import replicate_pages
-out_dir = f"/tmp/scaling_kg_{cpus}"
+# checkpoints go to tmpfs: on ONE box the disk is a fixed-bandwidth
+# resource shared by both parallelism levels, so writing checkpoints to it
+# caps measured scaling at the disk, not the code. On a real N->4N
+# cluster, executor-local disks and the object store scale WITH the
+# executors -- tmpfs approximates that storage-scales-with-compute regime.
+out_dir = f"/dev/shm/scaling_kg_{cpus}"
 shutil.rmtree(out_dir, ignore_errors=True)
 # IDENTICAL job at both levels: fixed shuffle partitioning and fixed input
 # partitioning -- only the executor thread count varies between N and 4N.
+local_dir = f"/dev/shm/spark_local_{cpus}"
+shutil.rmtree(local_dir, ignore_errors=True)
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=32,
                   app_name=f"scaling-{cpus}",
-                  extra_conf={"spark.driver.memory": "24g"})
+                  extra_conf={"spark.driver.memory": "24g",
+                              "spark.local.dir": local_dir})
 pages = replicate_pages(synth_pages(spark, sf_dir), rep).repartition(64).persist()
 n_docs = pages.count()
 t0 = time.time()
@@ -52,8 +60,9 @@ print(json.dumps({"cpus": cpus, "docs": n_docs, "triples": n_triples,
                   "wall_sec": round(wall, 2),
                   "docs_per_sec": round(n_docs / wall, 1),
                   "triples_per_sec": round(n_triples / wall, 1)}))
-shutil.rmtree(out_dir, ignore_errors=True)
 spark.stop()
+shutil.rmtree(out_dir, ignore_errors=True)
+shutil.rmtree(local_dir, ignore_errors=True)
 """
 
 
