@@ -100,11 +100,12 @@ def _ledger_load() -> list:
     return []
 
 
-def add_single_trial(cpus: int, rep: int, sf_dir: str) -> None:
+def add_single_trial(cpus: int, rep: int, sf_dir: str,
+                     mode: str = "pipeline") -> None:
     """Opportunistic single-level trial appended to the ledger (for
     catching quiet windows one leg at a time)."""
     ledger = _ledger_load()
-    r = run_level(cpus, rep, sf_dir)
+    r = run_level(cpus, rep, sf_dir, mode)
     r.update({"rep": rep, "sf_dir": sf_dir})
     ledger.append(r)
     with open(LEDGER, "w") as f:
@@ -115,7 +116,8 @@ def add_single_trial(cpus: int, rep: int, sf_dir: str) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "level":
         add_single_trial(int(sys.argv[2]), int(sys.argv[3]),
-                         sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1")
+                         sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1",
+                         sys.argv[5] if len(sys.argv) > 5 else "pipeline")
         return
     mode = "pipeline"
     if len(sys.argv) > 1 and sys.argv[1] == "extract":
