@@ -93,11 +93,14 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _topk_merge(scored.select(q_id_col, id_col, "score"), k, q_id_col, id_col)
 
 
-def _leaders_literal(leaders: DataFrame, id_col: str, vec_col: str) -> F.Column:
+def _leaders_literal(leaders: DataFrame, id_col: str, vec_col: str,
+                     rows: list | None = None) -> F.Column:
     """Collect the (tiny, deterministic) leader set and inline it as a
     literal array<struct<cell_id, cell_vec:array<double>>> so assignment
-    is a scan-local expression (no join against the corpus)."""
-    rows = leaders.select(id_col, vec_col).collect()
+    is a scan-local expression (no join against the corpus). Pass ``rows``
+    (a prior .collect()) to reuse one collection across stages."""
+    if rows is None:
+        rows = leaders.select(id_col, vec_col).collect()
     return F.array(*[
         F.struct(
             F.lit(r[0]).alias("cell_id"),
@@ -109,7 +112,8 @@ def _leaders_literal(leaders: DataFrame, id_col: str, vec_col: str) -> F.Column:
 
 def ivf_assign(corpus: DataFrame, n_cells: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               n_assign: int = 1) -> tuple[DataFrame, DataFrame]:
+               n_assign: int = 1,
+               leader_rows: list | None = None) -> tuple[DataFrame, DataFrame]:
     """IVF-flat index build: deterministic leaders + cell assignment.
 
     Leaders = the n_cells corpus vectors with smallest ids (deterministic
@@ -128,7 +132,7 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16,
         corpus.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cell_vec"))
         .orderBy("cell_id").limit(n_cells)
     )
-    lit = _leaders_literal(leaders, "cell_id", "cell_vec")
+    lit = _leaders_literal(leaders, "cell_id", "cell_vec", rows=leader_rows)
     dot = DOT.format(a=vec_col, b="l.cell_vec")
     norm_v = NORM.format(a=vec_col)
     norm_l = NORM.format(a="l.cell_vec")
@@ -155,9 +159,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     assigned corpus — no shuffle of corpus rows; at rest the assigned
     table is written bucketed/partitioned by cell_id so a probe touches
     only matching buckets (partition pruning)."""
-    leaders, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    leader_rows = (
+        corpus.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cell_vec"))
+        .orderBy("cell_id").limit(n_cells).collect()
+    )
+    leaders, assigned = ivf_assign(corpus, n_cells, id_col, vec_col,
+                                   leader_rows=leader_rows)
 
-    lit = _leaders_literal(leaders, "cell_id", "cell_vec")
+    lit = _leaders_literal(leaders, "cell_id", "cell_vec", rows=leader_rows)
     dot = DOT.format(a=q_vec_col, b="l.cell_vec")
     norm_q = NORM.format(a=q_vec_col)
     norm_l = NORM.format(a="l.cell_vec")
