@@ -69,6 +69,77 @@ def start_extraction_stream(pages_stream: DataFrame, out_dir: str,
     )
 
 
+SESSION_OUTPUT_DDL = ("user_id bigint, session_start timestamp, "
+                      "session_end timestamp, n_events bigint")
+SESSION_STATE_DDL = "start timestamp, last timestamp, n bigint"
+
+
+def streaming_sessionize(events_stream: DataFrame,
+                         gap_minutes: int = 30,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.11): event-time
+    session windows via ``applyInPandasWithState`` — the streaming twin of
+    the batch lag-based sessionizer (``events_sessionize`` in the entry).
+
+    State per user = (session start, last event ts, count); a session is
+    EMITTED when the event-time watermark passes last_ts + gap (state
+    timeout), or extended when a new in-gap event arrives. Late events
+    beyond the watermark are dropped by the runtime — same semantics the
+    batch operator produces on the closed corpus.
+
+    Scale shape: state is keyed by user_id (hash-partitioned by the state
+    store); per-trigger work is one Arrow batch per active key group. No
+    driver-side anything.
+    """
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = dt.timedelta(minutes=gap_minutes)
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user_id], "session_start": [start],
+                                "session_end": [last], "n_events": [n]})
+            return
+        rows = pd.concat(list(pdfs))
+        ts = rows["ts"].sort_values()
+        out = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        for t in ts:
+            t = t.to_pydatetime()
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                out.append((user_id, start, last, n))   # closed by a new event
+                start, last, n = t, t, 1
+            else:
+                last = max(last, t)
+                n += 1
+        state.update((start, last, n))
+        # close the open session once the WATERMARK (not wall clock) passes
+        state.setTimeoutTimestamp(int(last.timestamp() * 1000)
+                                  + gap_minutes * 60_000)
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "session_start",
+                                             "session_end", "n_events"])
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, SESSION_OUTPUT_DDL, SESSION_STATE_DDL,
+                                "append", GroupStateTimeout.EventTimeTimeout)
+    )
+
+
 def windowed_mention_counts(pages_stream: DataFrame,
                             window: str = "1 hour",
                             watermark: str = "2 hours") -> DataFrame:

@@ -56,6 +56,47 @@ def test_stream_extraction_end_to_end(spark, stream_dirs):
     assert out2.filter("item = 'triple'").count() == 3
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState session windows: two micro-batches; batch 2's
+    late-clock events advance the watermark past batch 1's sessions, so
+    they emit via event-time state timeout."""
+    import datetime as dt
+
+    from gitnexus_spark.streaming.ingest import streaming_sessionize
+
+    in_dir = str(tmp_path / "in")
+    ddl = "event_id bigint, ts timestamp, user_id bigint"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    # batch 1: user 1 has two sessions (gap > 30 min), user 2 one session
+    write_file([(1, t0, 1), (2, t0 + dt.timedelta(minutes=5), 1),
+                (3, t0 + dt.timedelta(hours=2), 1),
+                (4, t0 + dt.timedelta(minutes=1), 2)])
+    # batch 2: far-future event pushes the watermark past everything above
+    write_file([(9, t0 + dt.timedelta(days=2), 99)])
+
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    sess = streaming_sessionize(stream, gap_minutes=30, watermark="1 minute")
+    q = (sess.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["session_start"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    # user 1's first session closed by its own second session's arrival or
+    # timeout; all of batch 1's sessions must have emitted
+    assert (1, t0, 2) in got
+    assert (1, t0 + dt.timedelta(hours=2), 1) in got
+    assert (2, t0 + dt.timedelta(minutes=1), 1) in got
+
+
 def test_windowed_mention_counts_plan(spark):
     """The windowed aggregation builds a valid streaming plan (event-time
     carried through extraction)."""
