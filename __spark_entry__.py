@@ -1216,6 +1216,119 @@ ranked AS (
 SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 10"""
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs blocked through IVF cells
+    with 2-way multi-assignment — deterministic, so fully oracle-checked."""
+    from gitnexus_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.2, n_cells=16)
+
+
+def _sql_embedding_near_dup() -> str:
+    return f"""WITH leaders AS (
+  SELECT vec_id AS cell_id, embedding AS cell_vec FROM embeddings
+  ORDER BY vec_id LIMIT 16),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, l.cell_id,
+         {_sql_cos('e.embedding', 'l.cell_vec')} AS cs
+  FROM embeddings e CROSS JOIN leaders l),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM assign_scored) WHERE rn <= 2),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM assigned a JOIN assigned b USING (cell_id)
+  WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND({_sql_cos('va', 'vb')}, 6) AS score
+FROM pairs WHERE ROUND({_sql_cos('va', 'vb')}, 6) >= 0.2"""
+
+
+def _doc_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINKS_TO edges of the materialized graph, mapped back to doc ids."""
+    from gitnexus_spark.functions.ids import node_id
+
+    out = _run_full_pipeline(spark, sf_dir)
+    pages_dim = synth_pages_urls(spark, sf_dir).select(
+        node_id("Page", F.col("url")).alias("id"), "doc_id")
+    lt = out["edges"].filter(F.col("type") == "LINKS_TO")
+    return (
+        lt.join(pages_dim.withColumnRenamed("id", "src")
+                         .withColumnRenamed("doc_id", "src_doc"), "src")
+          .join(pages_dim.withColumnRenamed("id", "dst")
+                         .withColumnRenamed("doc_id", "dst_doc"), "dst")
+          .select(F.col("src_doc").alias("src"), F.col("dst_doc").alias("dst"))
+    )
+
+
+SQL_DOC_EDGES_CTE = """params AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*3+1) % n AS dst FROM documents, params
+  UNION
+  SELECT doc_id, (doc_id*11+7) % n FROM documents, params)"""
+
+
+def q_kg_node_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 adjacency statistics: in/out degree over the LINKS_TO graph."""
+    from gitnexus_spark.operators.graph_queries import node_degree
+
+    e = _doc_link_edges(spark, sf_dir)
+    return node_degree(e).select(F.col("id").alias("doc_id"),
+                                 "out_degree", "in_degree")
+
+
+SQL_KG_NODE_DEGREE = f"""WITH {SQL_DOC_EDGES_CTE},
+o AS (SELECT src AS doc_id, COUNT(*) AS out_degree FROM e GROUP BY src),
+i AS (SELECT dst AS doc_id, COUNT(*) AS in_degree FROM e GROUP BY dst)
+SELECT COALESCE(o.doc_id, i.doc_id) AS doc_id,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.doc_id = i.doc_id"""
+
+
+def q_kg_var_length_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 variable-length paths *1..3 from the page of doc 0 over
+    LINKS_TO, capped at 10 per start (reference query-engine.ts:254-323)."""
+    from gitnexus_spark.operators.graph_queries import var_length_paths
+
+    e = _doc_link_edges(spark, sf_dir).withColumn("type", F.lit("LINKS_TO"))
+    start = spark.createDataFrame([(0,)], "id bigint")
+    p = var_length_paths(e, start, "LINKS_TO", min_hops=1, max_hops=3,
+                         max_paths=10)
+    return p.select(
+        F.expr("array_join(transform(path, x -> cast(x as string)), ',')")
+            .alias("path"),
+        "hops")
+
+
+SQL_KG_VAR_PATHS = f"""WITH RECURSIVE {SQL_DOC_EDGES_CTE},
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS head, [CAST(0 AS BIGINT)] AS path, 0 AS hops
+  UNION ALL
+  SELECT e.dst, list_append(w.path, e.dst), w.hops + 1
+  FROM walk w JOIN e ON e.src = w.head
+  WHERE w.hops < 3 AND NOT list_contains(w.path, e.dst)),
+res AS (
+  SELECT array_to_string(list_transform(path, x -> CAST(x AS VARCHAR)), ',') AS path,
+         hops
+  FROM walk WHERE hops >= 1)
+SELECT path, hops FROM res ORDER BY hops, path LIMIT 10"""
+
+
+def q_kg_search_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 full-text node search over the materialized graph."""
+    from gitnexus_spark.operators.graph_queries import search_nodes
+
+    out = _run_full_pipeline(spark, sf_dir)
+    return search_nodes(out["nodes"], "p42.html").select("label", "name")
+
+
+SQL_KG_SEARCH_NODES = """SELECT 'Page' AS label, 'p' || CAST(doc_id AS VARCHAR) || '.html' AS name
+FROM documents WHERE doc_id = 42"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1239,6 +1352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_entities": q_kg_top_entities,
         "kg_two_hop": q_kg_two_hop,
         "kg_paths_between": q_kg_paths_between,
+        "kg_var_length_paths": q_kg_var_length_paths,
+        "kg_node_degree": q_kg_node_degree,
+        "kg_search_nodes": q_kg_search_nodes,
+        "embedding_near_dup": q_embedding_near_dup,
         "kg_span_attribution": q_kg_span_attribution,
         "kg_extraction_diagnostics": q_kg_extraction_diagnostics,
         "ignore_filter": q_ignore_filter,
@@ -1286,6 +1403,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_top_entities": SQL_KG_TOP_ENTITIES,
         "kg_two_hop": SQL_KG_TWO_HOP,
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,
+        "kg_var_length_paths": SQL_KG_VAR_PATHS,
+        "kg_node_degree": SQL_KG_NODE_DEGREE,
+        "kg_search_nodes": SQL_KG_SEARCH_NODES,
+        "embedding_near_dup": _sql_embedding_near_dup(),
         "kg_span_attribution": SQL_KG_SPAN_ATTRIBUTION,
         "kg_extraction_diagnostics": SQL_KG_EXTRACTION_DIAG,
         "ignore_filter": SQL_IGNORE_FILTER,
