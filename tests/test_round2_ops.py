@@ -98,6 +98,40 @@ def test_tightest_span_nested_and_tiebreak(spark):
     assert got == {"m1": (5, 20), "m2": (40, 60)}  # m3 unattributable -> dropped
 
 
+def test_extract_corpus_malformed_html(spark):
+    """Malformed markup must not fail tasks: the extractor falls back to
+    deterministic tag-stripping, and extraction still runs on the result."""
+    from gitnexus_spark.operators.extract import extract_corpus
+
+    rows = [
+        ("u1", b"<p>Acme founded Zorg.</p>"),                  # well-formed
+        ("u2", b"<p>Beta <b>visited</i> Acme."),               # mismatched tags
+        ("u3", b"\xff\xfe<p>Gamma owns Delta.</p>"),           # invalid utf-8 prefix
+        ("u4", b""),                                           # empty
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    corpus = extract_corpus(df)
+    pages = {r["url"]: r["text"] for r in corpus.filter("item = 'page'").collect()}
+    assert len(pages) == 4 and pages["u4"] == ""
+    triples = {(r["name"], r["pred"], r["obj"])
+               for r in corpus.filter("item = 'triple'").collect()}
+    assert ("Acme", "founded", "Zorg") in triples
+    assert ("Gamma", "owns", "Delta") in triples
+
+
+def test_salted_agg_spreads_identical_rows(spark):
+    """Byte-identical duplicate rows of one hub key must land on multiple
+    salts (the round-1 crc32-of-all-columns salt sent them to ONE reducer)."""
+    from gitnexus_spark.operators.skew import salted_agg, with_salt
+
+    hub = spark.createDataFrame([("k", 1.0)] * 1000, ["key", "v"]) \
+        .repartition(8)
+    n_salts = with_salt(hub, "key", 16).select("_salt").distinct().count()
+    assert n_salts > 4
+    got = salted_agg(hub, ["key"], {"v": "sum"}, salts=16).collect()
+    assert got[0]["sum_v"] == 1000.0
+
+
 def test_is_config_page(spark):
     from gitnexus_spark.operators.filters import is_config_page
 
