@@ -948,8 +948,11 @@ y AS (
                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
   FROM x),
 z AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS session_id FROM y)
+  -- DuckDB windowed SUM(int) returns HUGEINT -> pandas float64 ('4.0'),
+  -- but Spark emits bigint ('4') and the driver hashes raw values, so the
+  -- cast is load-bearing (VERDICT r02 #1).
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS VARCHAR) AS session_value
 FROM z GROUP BY user_id, session_id"""

@@ -21,20 +21,40 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Columns sorted by name, rows sorted, values stringified at FULL
-    precision (float64 via repr -> shortest round-trip). The driver hashes
-    raw values — rounding here masked last-ulp divergences (VERDICT r01 #1),
-    so this must NOT round."""
+    """Columns sorted by name, rows sorted, values stringified DTYPE-
+    FAITHFULLY at full precision. The driver hashes raw values, so this
+    must neither round (VERDICT r01 #1) nor coerce ints to float64
+    (VERDICT r02 #1: DuckDB windowed SUM(int) -> HUGEINT -> pandas
+    float64 '4.0' vs Spark bigint '4' was masked by a blanket float64
+    cast here for two rounds). Ints stringify as ints, floats via repr
+    (shortest round-trip), everything else via str."""
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else "<null>")
+        dt = df[c].dtype
+        if pd.api.types.is_float_dtype(dt):
+            df[c] = df[c].map(
+                lambda v: "<nan>" if v != v else repr(float(v)))
+        elif pd.api.types.is_integer_dtype(dt):
+            df[c] = df[c].map(lambda v: str(int(v)))
+        elif pd.api.types.is_bool_dtype(dt):
+            df[c] = df[c].map(lambda v: str(bool(v)))
         else:
-            try:
-                df[c] = df[c].astype("float64").map(
-                    lambda v: repr(float(v)) if v == v else "<nan>")
-            except (TypeError, ValueError):
-                df[c] = df[c].map(str)
+            # object columns: preserve each python value's own type repr —
+            # a float 4.0 from DuckDB HUGEIGNT->object must NOT equal int 4.
+            def _s(v):
+                if v is None:
+                    return "<null>"
+                if isinstance(v, float):
+                    return "<nan>" if v != v else repr(v)
+                if isinstance(v, (np.floating,)):
+                    fv = float(v)
+                    return "<nan>" if fv != fv else repr(fv)
+                if isinstance(v, (int, np.integer)):
+                    return str(int(v))
+                return str(v)
+            df[c] = df[c].map(_s)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
