@@ -152,14 +152,20 @@ class KGPipeline:
         def p3_registry():
             return entity_registry(mentions)
 
+        # structure_graph computed ONCE: its two outputs share one cached
+        # url projection, so the section/prefix derivation and the corpus
+        # scan behind it run a single time even though nodes and edges are
+        # written (concurrently) as separate tables (ADVICE r02 #5 — the
+        # previous two independent calls doubled this fixed cost).
+        urls = pages_text.select("url").persist()
+        s_nodes_df, s_edges_df = structure_graph(urls)
         with ThreadPoolExecutor(3) as pool:
-            f_sn = pool.submit(self._load_or, "struct_nodes",
-                               lambda: structure_graph(pages_text.select("url"))[0])
-            f_se = pool.submit(self._load_or, "struct_edges",
-                               lambda: structure_graph(pages_text.select("url"))[1])
+            f_sn = pool.submit(self._load_or, "struct_nodes", lambda: s_nodes_df)
+            f_se = pool.submit(self._load_or, "struct_edges", lambda: s_edges_df)
             f_reg = pool.submit(self._load_or, "entities", p3_registry)
             struct_nodes, struct_edges, registry = \
                 f_sn.result(), f_se.result(), f_reg.result()
+        urls.unpersist()
 
         # 3a: the name-keyed resolution map (alias / global-exact / fuzzy)
         # over DISTINCT endpoint surface forms — vocabulary-scale, broadcast
@@ -175,14 +181,25 @@ class KGPipeline:
             return name_resolution_map(names, registry, self.alias_dict)
         name_map = self._load_or("name_links", p3_name_map)
 
-        # 3b: coreference merge over the entity dimension (CC union-find)
+        # 3b: coreference merge over the entity dimension (CC union-find).
+        # The canonical map must cover the FULL endpoint-name universe, not
+        # just registry ∪ fuzzy names: alias surface forms (and stop-entity
+        # or 1-char subjects) can appear as triple endpoints without ever
+        # surviving the mention filter, and without a canonical-map row
+        # p3_resolved keeps the raw form while pass 4 materializes no node
+        # for it -> dangling predicate edges (ADVICE r02, medium).
         def p3_canon():
             fuzzy_linked = name_map.filter(
                 F.col("c_alias").isNull() & F.col("c_exact").isNull()
                 & F.col("c_fuzzy").isNotNull()
             ).select("name", F.col("c_fuzzy").alias("canonical_name"),
                      F.lit("fuzzy").alias("stage"))
-            return canonical_entities(registry, fuzzy_linked, self.alias_dict)
+            endpoint_names = name_map.select(
+                "name", F.lit(None).cast("string").alias("canonical_name"),
+                F.lit("endpoint").alias("stage"))
+            return canonical_entities(
+                registry, fuzzy_linked.unionByName(endpoint_names),
+                self.alias_dict)
         canon = self._load_or("canonical_map", p3_canon)
 
         # 3c: resolve triple endpoints. Stage precedence (alias > same_doc >
@@ -222,10 +239,28 @@ class KGPipeline:
                 (F.coalesce(s_conf, F.lit(0.0)) * F.coalesce(o_conf, F.lit(0.0)))
                     .alias("confidence"),
             )
-        # pass 4: final nodes/edges, partitioned by label / type
+        resolved = self._load_or("triples_resolved", p3_resolved)
+
+        # pass 4: final nodes/edges, partitioned by label / type.
+        # Entity nodes = canonicals actually REFERENCED by an edge:
+        # mention canonicals (every MENTIONS dst) ∪ endpoints of fully-
+        # resolved triples (every predicate-edge src/dst). Deriving nodes
+        # from canon.canonical directly would — now that canon covers the
+        # full endpoint universe — also materialize nodes for endpoints
+        # that failed every linking stage, whose edges are filtered out,
+        # i.e. isolated-node integrity failures.
         def p4_nodes():
+            men_canon = (
+                registry.select("name").join(F.broadcast(canon), "name", "left")
+                .select(F.coalesce("canonical", "name").alias("canonical"))
+            )
+            ok = resolved.filter(F.col("subj_stage") != "failed") \
+                         .filter(F.col("obj_stage") != "failed")
+            ref_canon = ok.select(F.col("subj").alias("canonical")) \
+                .unionByName(ok.select(F.col("obj").alias("canonical")))
             ents = (
-                canon.select("canonical").dropDuplicates(["canonical"])
+                men_canon.unionByName(ref_canon)
+                .dropDuplicates(["canonical"])
                 .select(
                     node_id("Entity", F.col("canonical")).alias("id"),
                     F.lit("Entity").alias("label"),
@@ -234,12 +269,6 @@ class KGPipeline:
                 )
             )
             return struct_nodes.unionByName(ents).dropDuplicates(["id"])
-
-        # triples_resolved and nodes are independent given canon: overlap them
-        with ThreadPoolExecutor(2) as pool:
-            f_res = pool.submit(self._load_or, "triples_resolved", p3_resolved)
-            f_nodes = pool.submit(self._load_or, "nodes", p4_nodes, ["label"])
-            resolved, nodes = f_res.result(), f_nodes.result()
 
         def p4_edges():
             page_ids = pages_text.select(
@@ -288,7 +317,11 @@ class KGPipeline:
                 .select(edge_id(F.col("type"), F.col("src"), F.col("dst")).alias("id"),
                         "type", "src", "dst", "confidence")
             )
-        edges = self._load_or("edges", p4_edges, partition_by=["type"])
+        # nodes and edges are independent given resolved+canon: overlap them
+        with ThreadPoolExecutor(2) as pool:
+            f_nodes = pool.submit(self._load_or, "nodes", p4_nodes, ["label"])
+            f_edges = pool.submit(self._load_or, "edges", p4_edges, ["type"])
+            nodes, edges = f_nodes.result(), f_edges.result()
 
         return {
             "pages_text": pages_text, "extracted": corpus,

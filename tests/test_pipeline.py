@@ -101,3 +101,43 @@ def test_structure_hierarchy(pipeline_out):
     page_ids = nodes.filter("label = 'Page'").select(F.col("id").alias("dst"))
     contains = edges.filter("type = 'CONTAINS'").join(page_ids, "dst")
     assert contains.groupBy("dst").count().filter("count != 1").count() == 0
+
+
+def test_no_dangling_edges_for_endpoint_only_names(spark, tmp_path):
+    """Regression (ADVICE r02, medium): endpoint names that never survive
+    the mention filter — 1-char subjects, stop-entity objects resolved via
+    the alias dictionary — must still land in the canonical map, so pass 4
+    materializes Entity nodes for every emitted predicate edge. Before the
+    fix, canonical_entities only covered registry ∪ fuzzy names and these
+    endpoints produced edges referencing nonexistent node ids."""
+    from gitnexus_spark.plans.pipeline import KGPipeline, integrity_checks
+    from gitnexus_spark.synthetic import render_html
+
+    docs = [
+        # subj "X": 1-char, filtered from mentions, same_doc-resolved
+        ("https://t.example.org/a/p1.html", "X founded Entity_5."),
+        # obj "Here": stop entity, filtered from mentions, alias-resolved
+        ("https://t.example.org/a/p2.html", "Entity_5 visited Here."),
+        ("https://t.example.org/b/p3.html", "Entity_9 endorsed Entity_5."),
+    ]
+    rows = [(u, render_html(i, u, t, []), t, "en") for i, (u, t) in enumerate(docs)]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    alias = spark.createDataFrame([("Here", "Entity_9")],
+                                  ["alias", "canonical_name"])
+
+    out = KGPipeline(spark, str(tmp_path / "kg"), alias_dict=alias).run(pages)
+    checks = integrity_checks(out["nodes"], out["edges"])
+    assert checks == {k: 0 for k in checks}
+
+    res = {(r["subj"], r["pred"], r["obj"], r["subj_stage"], r["obj_stage"])
+           for r in out["triples_resolved"].collect()}
+    # "Here" merges into Entity_9's component (alias edge; 'E..' < 'H..')
+    assert ("Entity_5", "visited", "Entity_9", "same_doc", "alias_exact") in res
+    # 1-char subject keeps its surface form but now HAS a node
+    assert ("X", "founded", "Entity_5", "same_doc", "name_exact") in res
+    node_names = {r["name"] for r in
+                  out["nodes"].filter("label = 'Entity'").collect()}
+    assert {"X", "Entity_5", "Entity_9"} <= node_names
+    assert "Here" not in node_names
