@@ -1332,6 +1332,53 @@ SQL_KG_SEARCH_NODES = """SELECT 'Page' AS label, 'p' || CAST(doc_id AS VARCHAR) 
 FROM documents WHERE doc_id = 42"""
 
 
+def q_kg_fuzzy_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 locality witness: per-call-site fuzzy resolution where the
+    winner FLIPS on URL distance (reference scores candidates per call
+    with import distance, call-processor.ts:305-323 / trie.ts:182-208).
+
+    Construction (pure doc_id arithmetic, oracle-expressible): probe
+    'Zq{gg}-Brand' (gg = lpad(doc_id%20)) from site
+    https://w.example.org/s{doc_id%10}/p{doc_id}.html; two registry
+    candidates with IDENTICAL Jaccard 5/11 — 'Zq{gg}_Brand' homed in /s3/
+    and 'Zq{gg}.Brand' homed in /s7/. Sites in /s3/ pick the '_' variant
+    (url_dist 1 beats 2); every other site picks the '.' variant (either
+    by distance in /s7/ or by the deterministic cand-ASC tie at 2/2).
+    Exercises the production fuzzy_candidates_all + site_fuzzy_map path
+    used by KGPipeline pass 3."""
+    from gitnexus_spark.operators.linking import (fuzzy_candidates_all,
+                                                  site_fuzzy_map)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gg = F.lpad((F.col("doc_id") % 20).cast("string"), 2, "0")
+    probes = docs.select(
+        F.concat(F.lit("https://w.example.org/s"),
+                 (F.col("doc_id") % 10).cast("string"),
+                 F.lit("/p"), F.col("doc_id").cast("string"),
+                 F.lit(".html")).alias("doc_url"),
+        F.concat(F.lit("Zq"), gg, F.lit("-Brand")).alias("name"),
+    )
+    groups = docs.select(gg.alias("gg")).dropDuplicates(["gg"])
+    registry = groups.select(
+        F.concat(F.lit("Zq"), F.col("gg"), F.lit("_Brand")).alias("name"),
+        F.lit("https://w.example.org/s3/a.html").alias("first_doc"),
+    ).unionByName(groups.select(
+        F.concat(F.lit("Zq"), F.col("gg"), F.lit(".Brand")).alias("name"),
+        F.lit("https://w.example.org/s7/a.html").alias("first_doc"),
+    ))
+    cands = fuzzy_candidates_all(probes, registry, fuzzy_threshold=0.4)
+    return site_fuzzy_map(probes, cands).select("doc_url", "name", "c_fuzzy")
+
+
+SQL_KG_FUZZY_LOCALITY = """SELECT
+  'https://w.example.org/s' || CAST(doc_id % 10 AS VARCHAR) || '/p' ||
+    CAST(doc_id AS VARCHAR) || '.html' AS doc_url,
+  'Zq' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '-Brand' AS name,
+  'Zq' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') ||
+    CASE WHEN doc_id % 10 = 3 THEN '_Brand' ELSE '.Brand' END AS c_fuzzy
+FROM documents"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1358,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_var_length_paths": q_kg_var_length_paths,
         "kg_node_degree": q_kg_node_degree,
         "kg_search_nodes": q_kg_search_nodes,
+        "kg_fuzzy_locality": q_kg_fuzzy_locality,
         "embedding_near_dup": q_embedding_near_dup,
         "kg_span_attribution": q_kg_span_attribution,
         "kg_extraction_diagnostics": q_kg_extraction_diagnostics,
@@ -1409,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_var_length_paths": SQL_KG_VAR_PATHS,
         "kg_node_degree": SQL_KG_NODE_DEGREE,
         "kg_search_nodes": SQL_KG_SEARCH_NODES,
+        "kg_fuzzy_locality": SQL_KG_FUZZY_LOCALITY,
         "embedding_near_dup": _sql_embedding_near_dup(),
         "kg_span_attribution": SQL_KG_SPAN_ATTRIBUTION,
         "kg_extraction_diagnostics": SQL_KG_EXTRACTION_DIAG,

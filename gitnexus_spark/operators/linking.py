@@ -143,6 +143,100 @@ def fuzzy_candidates(
     )
 
 
+def fuzzy_candidates_all(
+    probe_names: DataFrame,
+    registry: DataFrame,
+    fuzzy_threshold: float = 0.5,
+    max_gram_df: int = 10_000,
+    ngram: int = 3,
+    top_per_name: int = 8,
+) -> DataFrame:
+    """All above-threshold fuzzy candidates per probe NAME, capped at
+    ``top_per_name`` by (jaccard DESC, cand ASC).
+
+    This is the vocabulary-scale half of per-call-site fuzzy resolution
+    (reference scores candidates per call with import distance,
+    call-processor.ts:240-323): the expensive gram-blocking join runs ONCE
+    per distinct unresolved name, and the resulting small candidate table
+    is re-ranked per site by ``site_fuzzy_map`` — the site dimension never
+    touches the blocking join. Returns (name, cand, cand_doc, jaccard).
+    """
+    probe_src = probe_names.select("name").dropDuplicates(["name"])
+
+    def gram_explode(df: DataFrame, id_cols: list[str]) -> DataFrame:
+        g = df.select(
+            *id_cols,
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(name) - {ngram - 1}, 1)),"
+                f" i -> substring(lower(name), i, {ngram})))"
+            ).alias("grams"),
+        )
+        return g.select(*id_cols, F.size("grams").alias("n_grams"),
+                        F.explode("grams").alias("gram"))
+
+    probe = gram_explode(probe_src, ["name"])
+    build = gram_explode(
+        registry.select("name", "first_doc").withColumnRenamed("name", "cand")
+                .withColumnRenamed("first_doc", "cand_doc")
+                .withColumn("name", F.col("cand")),
+        ["cand", "cand_doc"],
+    )
+    gram_df = build.groupBy("gram").count().filter(F.col("count") <= max_gram_df)
+    build = build.join(gram_df.select("gram"), "gram") \
+                 .withColumnRenamed("n_grams", "cand_grams")
+
+    overlaps = (
+        probe.join(build, "gram")
+        .groupBy("name", "cand", "cand_doc", "n_grams", "cand_grams")
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_grams") + F.col("cand_grams") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= fuzzy_threshold)
+        .filter(F.col("name") != F.col("cand"))
+    )
+    w = Window.partitionBy("name").orderBy(F.desc("jaccard"), F.asc("cand"))
+    return (
+        overlaps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_per_name)
+        .select("name", "cand", "cand_doc", "jaccard")
+    )
+
+
+def site_fuzzy_map(
+    pairs: DataFrame,
+    candidates: DataFrame,
+    locality_col: str = "doc_url",
+) -> DataFrame:
+    """Per-call-site fuzzy winner: re-rank a name's candidates with the
+    site's URL locality (reference scores every candidate per call site,
+    call-processor.ts:305-323 / trie.ts:182-208).
+
+    pairs: (locality, name) distinct call sites of unresolved names;
+    candidates: fuzzy_candidates_all() output (vocabulary-scale —
+    broadcast). Ranking: jaccard DESC, url_distance(locality, cand_doc)
+    ASC, cand ASC. Returns (locality, name, c_fuzzy, fuzzy_score) — one
+    row per input pair that has at least one candidate. The top-1 window
+    partitions on (locality, name), the pair key itself — evenly
+    distributed, no hot reducer.
+    """
+    p = pairs.select(locality_col, "name").dropDuplicates([locality_col, "name"])
+    j = (
+        p.join(F.broadcast(candidates), "name")
+        .withColumn("url_dist",
+                    url_distance_expr(F.col(locality_col), F.col("cand_doc")))
+    )
+    w = Window.partitionBy(locality_col, "name").orderBy(
+        F.desc("jaccard"), F.asc("url_dist"), F.asc("cand"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(locality_col, "name", F.col("cand").alias("c_fuzzy"),
+                F.col("jaccard").alias("fuzzy_score"))
+    )
+
+
 def name_resolution_map(
     names: DataFrame,
     registry: DataFrame,

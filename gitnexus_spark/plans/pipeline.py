@@ -40,7 +40,9 @@ from pyspark.sql import functions as F
 from ..functions.ids import edge_id, node_id
 from ..operators import extract as ex
 from ..operators.components import canonical_entities
-from ..operators.linking import entity_registry, name_resolution_map, stage_columns
+from ..operators.linking import (entity_registry, fuzzy_candidates_all,
+                                 name_resolution_map, site_fuzzy_map,
+                                 stage_columns)
 from ..operators.structure import structure_graph
 
 
@@ -181,6 +183,32 @@ class KGPipeline:
             return name_resolution_map(names, registry, self.alias_dict)
         name_map = self._load_or("name_links", p3_name_map)
 
+        # 3a': per-call-site fuzzy resolution (VERDICT r02 #2 — the
+        # reference scores fuzzy candidates PER CALL SITE with import
+        # distance, call-processor.ts:305-323). The gram-blocking join
+        # stays on the vocabulary dimension (fuzzy_candidates_all); only
+        # the small per-name candidate lists are re-ranked against each
+        # site's URL locality. Sites = distinct (doc_url, endpoint) pairs
+        # restricted to names both exact stages missed.
+        def p3_fuzzy_site():
+            unresolved = name_map.filter(
+                F.col("c_alias").isNull() & F.col("c_exact").isNull()
+            ).select("name")
+            if unresolved.isEmpty():
+                return self.spark.createDataFrame(
+                    [], "doc_url string, name string, c_fuzzy string,"
+                        " fuzzy_score double")
+            cands = fuzzy_candidates_all(unresolved, registry)
+            sites = (
+                raw_triples.select("doc_url", F.col("subj").alias("name"))
+                .unionByName(
+                    raw_triples.select("doc_url", F.col("obj").alias("name")))
+                .join(F.broadcast(unresolved), "name", "left_semi")
+                .dropDuplicates(["doc_url", "name"])
+            )
+            return site_fuzzy_map(sites, cands)
+        fuzzy_site = self._load_or("fuzzy_site_links", p3_fuzzy_site)
+
         # 3b: coreference merge over the entity dimension (CC union-find).
         # The canonical map must cover the FULL endpoint-name universe, not
         # just registry ∪ fuzzy names: alias surface forms (and stop-entity
@@ -197,43 +225,83 @@ class KGPipeline:
             endpoint_names = name_map.select(
                 "name", F.lit(None).cast("string").alias("canonical_name"),
                 F.lit("endpoint").alias("stage"))
+            # targets of USED aliases: alias edges are CC inputs, so
+            # cc(alias) == cc(target) — but the target needs its own map
+            # row when it is neither a mention nor an endpoint itself
+            used_targets = name_map.filter(F.col("c_alias").isNotNull()) \
+                .select(F.col("c_alias").alias("name"),
+                        F.lit(None).cast("string").alias("canonical_name"),
+                        F.lit("endpoint").alias("stage"))
             return canonical_entities(
-                registry, fuzzy_linked.unionByName(endpoint_names),
+                registry,
+                fuzzy_linked.unionByName(endpoint_names)
+                            .unionByName(used_targets),
                 self.alias_dict)
         canon = self._load_or("canonical_map", p3_canon)
 
         # 3c: resolve triple endpoints. Stage precedence (alias > same_doc >
         # name_exact > fuzzy > failed) mirrors the reference; the final
-        # canonical applies the CC merge on top. Both maps are
-        # vocabulary-sized -> broadcast joins, no fact shuffle.
+        # canonical applies the CC merge on top of the STAGE-RESOLVED name.
+        # For alias/same_doc/exact stages cc(resolved) == cc(raw name)
+        # (alias edges are CC inputs; exact/same_doc resolve to the name
+        # itself), so self_cc covers them; the per-site fuzzy winner can be
+        # OUTSIDE the raw name's component — its cc rides on the fuzzy_site
+        # rows (attached on the candidate dimension, not the fact table).
+        # Name maps are vocabulary-sized -> broadcast joins; the site map
+        # is keyed (doc_url, name) like the fact table and joins without a
+        # forced broadcast (AQE picks; at scale both sides are co-keyed).
         def p3_resolved():
             smap = name_map.join(canon, "name", "left").select(
-                "name", "c_alias", "c_exact", "c_fuzzy",
-                F.coalesce("canonical", "name").alias("cc_canon"))
+                "name", "c_alias", "c_exact",
+                F.coalesce("canonical", "name").alias("self_cc"))
+            fz = fuzzy_site.join(
+                canon.withColumnRenamed("name", "c_fuzzy")
+                     .withColumnRenamed("canonical", "fuzzy_cc"),
+                "c_fuzzy", "left"
+            ).select("doc_url", "name", "c_fuzzy",
+                     F.coalesce("fuzzy_cc", "c_fuzzy").alias("fuzzy_cc"))
 
             smap_s = smap.select(F.col("name").alias("subj"),
                                  *[F.col(c).alias(f"s_{c}") for c in
-                                   ["c_alias", "c_exact", "c_fuzzy", "cc_canon"]])
+                                   ["c_alias", "c_exact", "self_cc"]])
             smap_o = smap.select(F.col("name").alias("obj"),
                                  *[F.col(c).alias(f"o_{c}") for c in
-                                   ["c_alias", "c_exact", "c_fuzzy", "cc_canon"]])
+                                   ["c_alias", "c_exact", "self_cc"]])
+            fz_s = fz.select("doc_url", F.col("name").alias("subj"),
+                             F.col("c_fuzzy").alias("s_c_fuzzy"),
+                             F.col("fuzzy_cc").alias("s_fuzzy_cc"))
+            fz_o = fz.select("doc_url", F.col("name").alias("obj"),
+                             F.col("c_fuzzy").alias("o_c_fuzzy"),
+                             F.col("fuzzy_cc").alias("o_fuzzy_cc"))
             t = (raw_triples
                  .join(F.broadcast(smap_s), "subj", "left")
-                 .join(F.broadcast(smap_o), "obj", "left"))
-            s_canon, s_stage, s_conf = stage_columns(
-                F.col("s_c_alias"), F.coalesce("subj_samedoc", F.lit(False)),
+                 .join(F.broadcast(smap_o), "obj", "left")
+                 .join(fz_s, ["doc_url", "subj"], "left")
+                 .join(fz_o, ["doc_url", "obj"], "left"))
+            s_samedoc = F.coalesce("subj_samedoc", F.lit(False))
+            o_samedoc = F.coalesce("obj_samedoc", F.lit(False))
+            _, s_stage, s_conf = stage_columns(
+                F.col("s_c_alias"), s_samedoc,
                 F.col("s_c_exact"), F.col("s_c_fuzzy"), F.col("subj"))
-            o_canon, o_stage, o_conf = stage_columns(
-                F.col("o_c_alias"), F.coalesce("obj_samedoc", F.lit(False)),
+            _, o_stage, o_conf = stage_columns(
+                F.col("o_c_alias"), o_samedoc,
                 F.col("o_c_exact"), F.col("o_c_fuzzy"), F.col("obj"))
-            # CC canonical of the stage-resolved name == cc_canon of the RAW
-            # name: every stage output is in the raw name's CC component
-            # (alias edges and fuzzy edges are CC inputs; exact/same_doc
-            # resolve to the name itself).
+            s_final = (
+                F.when(F.col("s_c_alias").isNotNull() | s_samedoc
+                       | F.col("s_c_exact").isNotNull(), F.col("s_self_cc"))
+                .when(F.col("s_c_fuzzy").isNotNull(), F.col("s_fuzzy_cc"))
+                .otherwise(F.col("subj"))
+            )
+            o_final = (
+                F.when(F.col("o_c_alias").isNotNull() | o_samedoc
+                       | F.col("o_c_exact").isNotNull(), F.col("o_self_cc"))
+                .when(F.col("o_c_fuzzy").isNotNull(), F.col("o_fuzzy_cc"))
+                .otherwise(F.col("obj"))
+            )
             return t.select(
                 "doc_url", "pred",
-                F.coalesce("s_cc_canon", "subj").alias("subj"),
-                F.coalesce("o_cc_canon", "obj").alias("obj"),
+                s_final.alias("subj"),
+                o_final.alias("obj"),
                 s_stage.alias("subj_stage"),
                 o_stage.alias("obj_stage"),
                 (F.coalesce(s_conf, F.lit(0.0)) * F.coalesce(o_conf, F.lit(0.0)))

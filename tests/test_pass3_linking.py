@@ -121,3 +121,82 @@ def test_canonical_entities_norm_and_alias_merge(spark):
     assert canon["Entity_5"] == "E5"
     assert canon["Entity-5"] == "E5"
     assert canon["Solo"] == "Solo"
+
+
+def test_site_fuzzy_locality_flips_winner(spark):
+    """VERDICT r02 #2 'done' criterion: with two equal-Jaccard candidates,
+    the per-site winner flips on URL distance; disabling the tiebreak
+    (name-level fuzzy_candidates) picks the other candidate for /s3/ sites."""
+    from pyspark.sql import functions as F
+
+    from gitnexus_spark.operators.linking import (fuzzy_candidates,
+                                                  fuzzy_candidates_all,
+                                                  site_fuzzy_map)
+
+    probes = spark.createDataFrame(
+        [("https://w.example.org/s3/p3.html", "Zq05-Brand"),
+         ("https://w.example.org/s7/p7.html", "Zq05-Brand"),
+         ("https://w.example.org/s1/p1.html", "Zq05-Brand")],
+        ["doc_url", "name"])
+    registry = spark.createDataFrame(
+        [("Zq05_Brand", "https://w.example.org/s3/a.html", 1),
+         ("Zq05.Brand", "https://w.example.org/s7/a.html", 1)],
+        ["name", "first_doc", "n_docs"])
+
+    cands = fuzzy_candidates_all(probes, registry, fuzzy_threshold=0.4)
+    rows = {r["cand"]: r["jaccard"] for r in cands.collect()}
+    assert set(rows) == {"Zq05_Brand", "Zq05.Brand"}
+    assert len(set(rows.values())) == 1  # exact Jaccard tie (5/11)
+
+    got = {r["doc_url"]: r["c_fuzzy"]
+           for r in site_fuzzy_map(probes, cands).collect()}
+    assert got["https://w.example.org/s3/p3.html"] == "Zq05_Brand"
+    assert got["https://w.example.org/s7/p7.html"] == "Zq05.Brand"
+    assert got["https://w.example.org/s1/p1.html"] == "Zq05.Brand"  # cand ASC
+
+    # tiebreak OFF (name-level): deterministic cand ASC everywhere,
+    # i.e. the /s3/ answer flips
+    off = fuzzy_candidates(probes.select("name"), registry,
+                           fuzzy_threshold=0.4)
+    assert off.collect()[0]["c_fuzzy"] == "Zq05.Brand"
+
+
+def test_pipeline_uses_site_fuzzy(spark, tmp_path):
+    """The PRODUCTION path resolves fuzzy per call site: the same ambiguous
+    surface form resolves to different canonicals on different pages.
+
+    Every capitalized endpoint is also a mention of its own page (exact
+    stage), so production fuzzy fires exactly for mention-FILTERED
+    endpoints — here the stop entity 'More'. Its two candidates MoreX /
+    MoreZ tie on Jaccard (2/3 each on grams {mor, ore}) and are homed in
+    different directories, so the winner is pure URL locality."""
+    from pyspark.sql import functions as F
+
+    from gitnexus_spark.plans.pipeline import KGPipeline
+    from gitnexus_spark.synthetic import render_html
+
+    docs = [
+        # home pages put each candidate in the registry with first_doc
+        # in its own directory
+        ("https://w.example.org/a/h1.html", "MoreX founded Entity_1."),
+        ("https://w.example.org/b/h2.html", "MoreZ founded Entity_1."),
+        # ambiguous probe sites: stop-entity object, different directories
+        ("https://w.example.org/a/p1.html", "Entity_1 endorsed More."),
+        ("https://w.example.org/b/p2.html", "Entity_1 endorsed More."),
+    ]
+    rows = [(u, render_html(i, u, t, []), t, "en") for i, (u, t) in enumerate(docs)]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+    out = KGPipeline(spark, str(tmp_path / "kg")).run(pages)
+    probes = {r["doc_url"]: (r["obj"], r["obj_stage"]) for r in
+              out["triples_resolved"].filter("pred = 'endorsed'").collect()}
+    # /a/ site picks MoreX (url_dist 1 vs 2); its CC component is
+    # {More, MoreX} via the name-level fuzzy edge, min = 'More'
+    assert probes["https://w.example.org/a/p1.html"] == ("More", "fuzzy")
+    # /b/ site picks MoreZ — a DIFFERENT canonical: the locality flip
+    assert probes["https://w.example.org/b/p2.html"] == ("MoreZ", "fuzzy")
+    from gitnexus_spark.plans.pipeline import integrity_checks
+    checks = integrity_checks(out["nodes"], out["edges"])
+    assert checks == {k: 0 for k in checks}
