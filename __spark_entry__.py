@@ -658,8 +658,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     e = e.withColumn("value_d", F.col("value").cast("decimal(18,6)"))
-    out = salted_agg(e, ["event_type"], {"value_d": "sum"}, salts=16)
-    cnt = salted_agg(e, ["event_type"], {"event_id": "count"}, salts=16)
+    out = salted_agg(e, ["event_type"], {"value_d": "sum"}, salts=16,
+                     id_col="event_id")
+    cnt = salted_agg(e, ["event_type"], {"event_id": "count"}, salts=16,
+                     id_col="event_id")
     return out.join(cnt, "event_type").select(
         "event_type",
         F.round(F.col("sum_value_d"), 4).cast("string").alias("total_value"),

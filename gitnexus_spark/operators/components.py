@@ -99,6 +99,7 @@ def _large_small_star(
     )
     prev = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # ---- large star ----
@@ -129,17 +130,28 @@ def _large_small_star(
         if prev is not None:
             changed = not sm.exceptAll(prev).unionByName(prev.exceptAll(sm)).isEmpty()
             if not changed:
+                converged = True
                 break
         prev = e = sm
     if stats is not None:
         stats["rounds"] = rounds
-    # converged star graph: (u -> component min) pairs + the roots themselves
-    return (
+        stats["converged"] = converged
+    out = (
         e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
         .unionByName(
             e.select(F.col("v").alias("vertex"), F.col("v").alias("component")))
         .dropDuplicates(["vertex", "component"])
     )
+    if not converged:
+        # max_iter exhausted before the star graph stabilized: the edge set
+        # may not be a star yet, i.e. a vertex can carry several labels and
+        # components stay under-merged. Collapse to one deterministic label
+        # per vertex (min) so the output CONTRACT (one row per vertex)
+        # holds, and record the condition instead of failing silently
+        # (ADVICE r03). At O(log n) rounds, max_iter=50 covers any real
+        # graph — hitting this means the caller set max_iter far too low.
+        out = out.groupBy("vertex").agg(F.min("component").alias("component"))
+    return out
 
 
 NORM_KEY_SQL = "regexp_replace(lower(name), '[^a-z0-9]', '')"

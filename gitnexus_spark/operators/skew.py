@@ -23,34 +23,41 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, key_col: str, salts: int,
-              salt_col: str = "_salt") -> DataFrame:
-    """Uniform salt = hash(key, monotonically_increasing_id) mod salts.
+              salt_col: str = "_salt", id_col: str | None = None) -> DataFrame:
+    """Uniform DETERMINISTIC salt.
 
-    The per-row id is a GENUINE row discriminator, so even byte-identical
-    duplicate rows of a hub key spread across reducers (hashing the column
-    values alone would send them to one reducer). Salt values depend on
-    partition layout, which is safe by construction: every consumer
-    (salted_agg, salted_join) produces results exactly equal to the
-    unsalted plan for ANY salt assignment — the salt only controls
-    partial-stage fan-out."""
+    With ``id_col`` (a caller-supplied unique row id — almost every real
+    table has one): salt = hash(key, id) mod salts — byte-identical
+    duplicate rows of a hub key still spread across reducers.
+
+    Without one: salt = hash(ALL columns) mod salts. Deterministic on
+    recomputation, but fully duplicated rows of a hub key collapse onto
+    one reducer — a documented limitation, accepted on purpose: deriving
+    the salt from monotonically_increasing_id (round-2 version) spreads
+    duplicates but is INDETERMINATE under task retry — a re-executed map
+    task after a shuffle-fetch failure can assign different salts than
+    the original attempt, and Spark does not guarantee rolling back the
+    consumer stage for expression-level nondeterminism (SPARK-23207-style
+    duplicate/lost rows). Correctness beats duplicate-spread.
+    """
+    mix = [F.col(key_col), F.col(id_col)] if id_col else \
+        [F.col(c) for c in df.columns]
     return df.withColumn(
-        salt_col,
-        F.pmod(F.hash(F.col(key_col), F.monotonically_increasing_id()),
-               F.lit(salts)).cast("int"),
-    )
+        salt_col, F.pmod(F.hash(*mix), F.lit(salts)).cast("int"))
 
 
 def salted_agg(df: DataFrame, key_cols: list[str], aggs: dict[str, str],
-               salts: int = 16) -> DataFrame:
+               salts: int = 16, id_col: str | None = None) -> DataFrame:
     """Two-stage aggregation: partial per (key, salt), final per key.
 
     aggs: {column: fn} with fn in {"sum", "count", "min", "max"} —
     the algebraic aggregates where partial+final composes exactly.
     count composes as partial count -> final SUM of partials.
+    id_col: unique row id for the salt mix (see with_salt).
     """
     fn_map = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refn_map = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    salted = with_salt(df, key_cols[0], salts)
+    salted = with_salt(df, key_cols[0], salts, id_col=id_col)
     partial = salted.groupBy(*key_cols, "_salt").agg(
         *[fn_map[fn](c).alias(f"_p_{c}_{fn}") for c, fn in aggs.items()]
     )
@@ -61,13 +68,15 @@ def salted_agg(df: DataFrame, key_cols: list[str], aggs: dict[str, str],
 
 
 def salted_join(fact: DataFrame, dim: DataFrame, key: str,
-                salts: int = 16, how: str = "inner") -> DataFrame:
+                salts: int = 16, how: str = "inner",
+                id_col: str | None = None) -> DataFrame:
     """Replicate-salt join: dim rows replicated x salts, fact rows salted
     uniformly; join key becomes (key, salt). Exact same rows as the plain
-    join, but a hub key now spreads over `salts` tasks."""
+    join, but a hub key now spreads over `salts` tasks.
+    id_col: unique row id for the salt mix (see with_salt)."""
     spark = fact.sparkSession
     salt_range = spark.range(salts).select(F.col("id").cast("int").alias("_salt"))
     dim_rep = dim.crossJoin(F.broadcast(salt_range))
-    fact_s = with_salt(fact, key, salts)
+    fact_s = with_salt(fact, key, salts, id_col=id_col)
     out = fact_s.join(dim_rep, [key, "_salt"], how)
     return out.drop("_salt")

@@ -93,7 +93,19 @@ def _warc_records(path: str, blob: bytes, max_file: int) -> list[tuple]:
         if headers.get("warc-type") != "response":
             continue
         uri = headers.get("warc-target-uri", f"warc://{path}#unknown")
-        length = int(headers.get("content-length", "0"))
+        # one malformed Content-Length must not fail the whole Spark task
+        # (ADVICE r03): missing header falls back to the remaining bytes;
+        # unparsable header becomes an observable bad_record skip row.
+        raw_len = headers.get("content-length")
+        if raw_len is None:
+            length = len(rest)
+        else:
+            try:
+                length = int(raw_len)
+            except ValueError:
+                rows.append((uri, None, None, None, "skipped", "bad_record",
+                             len(rest)))
+                continue
         http = rest[:length]
         # HTTP response: status+headers, blank line, body
         body = http.split(b"\r\n\r\n", 1)[1] if b"\r\n\r\n" in http else http

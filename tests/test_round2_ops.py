@@ -120,16 +120,25 @@ def test_extract_corpus_malformed_html(spark):
 
 
 def test_salted_agg_spreads_identical_rows(spark):
-    """Byte-identical duplicate rows of one hub key must land on multiple
-    salts (the round-1 crc32-of-all-columns salt sent them to ONE reducer)."""
+    """With a unique id_col, byte-identical payload rows of one hub key
+    land on multiple salts; without one the salt is a row-content hash —
+    deterministic under task retry (ADVICE r03: monotonically_increasing_id
+    salts are indeterminate on recomputation), duplicates collapsing onto
+    one reducer is the documented trade-off."""
     from gitnexus_spark.operators.skew import salted_agg, with_salt
 
-    hub = spark.createDataFrame([("k", 1.0)] * 1000, ["key", "v"]) \
-        .repartition(8)
-    n_salts = with_salt(hub, "key", 16).select("_salt").distinct().count()
+    hub = spark.createDataFrame([("k", 1.0, i) for i in range(1000)],
+                                ["key", "v", "rid"]).repartition(8)
+    n_salts = with_salt(hub, "key", 16, id_col="rid") \
+        .select("_salt").distinct().count()
     assert n_salts > 4
-    got = salted_agg(hub, ["key"], {"v": "sum"}, salts=16).collect()
+    got = salted_agg(hub, ["key"], {"v": "sum"}, salts=16, id_col="rid").collect()
     assert got[0]["sum_v"] == 1000.0
+    # no id_col: content-hash salt is identical across recomputations
+    dup = spark.createDataFrame([("k", 1.0)] * 10, ["key", "v"])
+    a = sorted(r["_salt"] for r in with_salt(dup, "key", 16).collect())
+    b = sorted(r["_salt"] for r in with_salt(dup.repartition(5), "key", 16).collect())
+    assert a == b
 
 
 def test_is_config_page(spark):
