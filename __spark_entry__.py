@@ -1170,16 +1170,18 @@ SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 10"""
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN. Leaders are deterministic (lowest 16 ids), so the
-    whole algorithm — assignment argmax, probe selection, in-cell exact
-    top-k — is SQL-expressible and oracle-checked (VERDICT r01 #2/#5);
-    recall vs brute force additionally asserted in tests/test_similarity.py."""
+    """IVF-flat ANN at the SCALED defaults (n_cells ~ sqrt(n), n_probe ~
+    sqrt(n_cells), leaders = deterministic md5-stratified sample), so the
+    whole algorithm — leader pick, assignment argmax, probe selection,
+    in-cell exact top-k — is SQL-expressible and oracle-checked (VERDICT
+    r02 #5); recall vs brute force additionally asserted in
+    tests/test_similarity.py."""
     from gitnexus_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("q_id"),
                                         F.col("embedding").alias("q_vec"))
-    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
+    return ivf_topk(emb, q, k=10)
 
 
 def _sql_cos(a: str, b: str) -> str:
@@ -1190,10 +1192,26 @@ def _sql_cos(a: str, b: str) -> str:
     return f"({dot}) / ({norm.format(v=a)} * {norm.format(v=b)})"
 
 
+# scaled IVF parameters + md5-stratified leader pick, mirrored in SQL:
+# n_cells = max(16, floor(sqrt(n))), n_probe = max(4, floor(sqrt(n_cells)));
+# leaders = n_cells smallest by (60-bit fold of md5(vec_id), vec_id)
+SQL_IVF_PARAMS = """params AS (
+  SELECT GREATEST(16, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS n_cells,
+         GREATEST(4, 2 * CAST(floor(sqrt(GREATEST(16,
+             CAST(floor(sqrt(COUNT(*))) AS BIGINT)))) AS BIGINT)) AS n_probe
+  FROM embeddings),
+leaders AS (
+  SELECT cell_id, cell_vec FROM (
+    SELECT vec_id AS cell_id, embedding AS cell_vec,
+           ROW_NUMBER() OVER (ORDER BY
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+             vec_id) AS lrn
+    FROM embeddings), params
+  WHERE lrn <= params.n_cells)"""
+
+
 def _sql_ann_ivf() -> str:
-    return f"""WITH leaders AS (
-  SELECT vec_id AS cell_id, embedding AS cell_vec FROM embeddings
-  ORDER BY vec_id LIMIT 16),
+    return f"""WITH {SQL_IVF_PARAMS},
 assign_scored AS (
   SELECT e.vec_id, e.embedding, l.cell_id,
          {_sql_cos('e.embedding', 'l.cell_vec')} AS cs
@@ -1201,7 +1219,7 @@ assign_scored AS (
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
-    FROM assign_scored) WHERE rn <= 1),
+    FROM assign_scored) WHERE rn <= 2),
 q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
 probe_scored AS (
   SELECT q.q_id, q.q_vec, l.cell_id,
@@ -1210,9 +1228,9 @@ probe_scored AS (
 probes AS (
   SELECT q_id, q_vec, cell_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, cell_id ASC) AS rn
-    FROM probe_scored) WHERE rn <= 4),
+    FROM probe_scored), params WHERE rn <= params.n_probe),
 cand AS (
-  SELECT p.q_id, a.vec_id,
+  SELECT DISTINCT p.q_id, a.vec_id,
          ROUND({_sql_cos('a.embedding', 'p.q_vec')}, 6) AS score
   FROM assigned a JOIN probes p USING (cell_id)),
 ranked AS (
@@ -1227,13 +1245,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gitnexus_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, threshold=0.2, n_cells=16)
+    return embedding_near_dup_pairs(emb, threshold=0.2)
 
 
 def _sql_embedding_near_dup() -> str:
-    return f"""WITH leaders AS (
-  SELECT vec_id AS cell_id, embedding AS cell_vec FROM embeddings
-  ORDER BY vec_id LIMIT 16),
+    return f"""WITH {SQL_IVF_PARAMS},
 assign_scored AS (
   SELECT e.vec_id, e.embedding, l.cell_id,
          {_sql_cos('e.embedding', 'l.cell_vec')} AS cs

@@ -43,9 +43,37 @@ def test_ivf_recall_vs_brute_force(emb, queries):
 
     bf = {(r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, queries, k=10).collect()}
     ivf = {(r["q_id"], r["vec_id"]) for r in
-           ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).collect()}
+           ivf_topk(emb, queries, k=10, n_cells=16, n_probe=6).collect()}
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8, f"IVF recall {recall} below floor"
+
+
+def test_ivf_scaled_defaults_recall_sf01(spark):
+    """VERDICT r02 #5 'done' criterion: at sf0.1 and the SCALED defaults
+    (n_cells = floor(sqrt(n)), stratified md5-sampled leaders, n_probe =
+    floor(sqrt(n_cells))), recall vs brute force stays above the floor."""
+    from gitnexus_spark.operators.similarity import (brute_force_topk,
+                                                     default_n_cells,
+                                                     default_n_probe,
+                                                     ivf_topk,
+                                                     select_leaders)
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    assert default_n_cells(n) == 44  # floor(sqrt(2000))
+    assert default_n_probe(44) == 12  # 2 * floor(sqrt(44))
+    leaders = [r["cell_id"] for r in select_leaders(emb, 44).collect()]
+    # stratified, not head-of-table: leaders spread across the id space
+    assert max(leaders) > n // 2 and len(set(leaders)) == 44
+
+    queries = emb.filter("vec_id % 401 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    bf = {(r["q_id"], r["vec_id"])
+          for r in brute_force_topk(emb, queries, k=10).collect()}
+    ivf = {(r["q_id"], r["vec_id"])
+           for r in ivf_topk(emb, queries, k=10).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.6, f"scaled-IVF recall {recall} below floor"
 
 
 def test_near_dup_pairs_symmetric_canonical(spark):
@@ -55,3 +83,40 @@ def test_near_dup_pairs_symmetric_canonical(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     pairs = embedding_near_dup_pairs(df, threshold=0.95, n_cells=2).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_partition_topk_bounds_exchange_volume(spark):
+    """VERDICT r02 #4 'done' criterion: the pre-merge stage emits at most
+    #partitions x #queries x k rows — the exchange after it can never
+    carry the full scored product."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gitnexus_spark.operators.similarity import (_partition_topk,
+                                                     brute_force_topk)
+
+    n, parts, k, nq = 5000, 8, 5, 3
+    corpus = spark.range(n).repartition(parts).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double") % 17,
+                F.lit(1.0), (F.col("id") % 7).cast("double")).alias("embedding"))
+    queries = spark.createDataFrame(
+        [(q, [float(q + 1), 1.0, float(q)]) for q in range(nq)],
+        ["q_id", "q_vec"])
+    from gitnexus_spark.operators.similarity import cosine_expr
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .withColumn("score", F.round(cosine_expr("embedding", "q_vec"), 6))
+              .select("q_id", "vec_id", "score"))
+    local = _partition_topk(scored, k, "q_id", "vec_id")
+    n_local = local.count()
+    assert n_local <= parts * nq * k
+    assert n_local >= nq * k  # every query still has enough candidates
+
+    # end-to-end result identical to a driver-side exact reference
+    got = brute_force_topk(corpus, queries, k=k).toPandas()
+    ref = scored.toPandas()
+    for q in range(nq):
+        sub = ref[ref.q_id == q].sort_values(
+            ["score", "vec_id"], ascending=[False, True]).head(k)
+        g = got[got.q_id == q].sort_values("rank")
+        assert list(g.vec_id) == list(sub.vec_id)
