@@ -1350,6 +1350,84 @@ SQL_KG_SEARCH_NODES = """SELECT 'Page' AS label, 'p' || CAST(doc_id AS VARCHAR) 
 FROM documents WHERE doc_id = 42"""
 
 
+def _archive_fixture_dir() -> str:
+    """Deterministic tiny ZIP + WARC fixtures, synthesized on first use
+    (testdata is read-only, so the bytes are built here): every member/
+    record below is a hand-enumerable row, including each guard class —
+    extension skip, file_too_large skip (max_file_bytes=64), WARC request
+    filtering, and a malformed Content-Length bad_record skip."""
+    import os
+    import zipfile
+
+    d = "/tmp/gitnexus_archive_fixture"
+    zpath, wpath = f"{d}/fix.zip", f"{d}/fix.warc"
+    if os.path.exists(zpath) and os.path.exists(wpath):
+        return d
+    os.makedirs(d, exist_ok=True)
+    with zipfile.ZipFile(zpath + ".tmp", "w", zipfile.ZIP_STORED) as zf:
+        for name, data in [("a.html", b"<p>alpha</p>"),
+                           ("sub/b.htm", b"<p>beta</p>"),
+                           ("c.txt", b"hello"),
+                           ("big.html", b"x" * 100)]:
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(info, data)
+    os.replace(zpath + ".tmp", zpath)
+
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>warc</p>"
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://ex.org/w1.html\r\n"
+            b"WARC-Date: 2024-01-02T00:00:00Z\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n")
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: https://ex.org/w1.html\r\n"
+           b"Content-Length: 0\r\n\r\n\r\n\r\n")
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://ex.org/w2.html\r\n"
+           b"Content-Length: oops\r\n\r\nXYZ")
+    with open(wpath + ".tmp", "wb") as f:
+        f.write(good + req + bad)
+    os.replace(wpath + ".tmp", wpath)
+    return d
+
+
+def q_archive_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 archive sources end-to-end: ZIP members + WARC response records
+    with every guard observable (extension / file_too_large / bad_record
+    skips; request records filtered). Oracle = the literal expected rows."""
+    from gitnexus_spark.sources.archives import (read_warc_pages,
+                                                 read_zip_pages)
+
+    d = _archive_fixture_dir()
+    z = read_zip_pages(spark, f"{d}/fix.zip", max_file_bytes=64)
+    w = read_warc_pages(spark, f"{d}/fix.warc")
+    out = z.withColumn("source", F.lit("zip")).unionByName(
+        w.withColumn("source", F.lit("warc")))
+    member = F.when(F.col("url").contains("!/"),
+                    F.regexp_extract("url", r"!/(.*)$", 1)) \
+        .otherwise(F.regexp_extract("url", r"([^/]+\.(zip|warc)|https?://.*)$", 1))
+    return out.select(
+        "source", member.alias("member"), "item", "skip_reason",
+        F.col("byte_len").cast("bigint").alias("byte_len"),
+        F.md5(F.col("html")).alias("content_md5"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
+SQL_ARCHIVE_PAGES = """SELECT * FROM (VALUES
+  ('zip', 'a.html', 'page', NULL, CAST(12 AS BIGINT), md5('<p>alpha</p>'),
+   '2024-01-01 00:00:00'),
+  ('zip', 'sub/b.htm', 'page', NULL, CAST(11 AS BIGINT), md5('<p>beta</p>'),
+   '2024-01-01 00:00:00'),
+  ('zip', 'c.txt', 'skipped', 'extension', CAST(5 AS BIGINT), NULL, NULL),
+  ('zip', 'big.html', 'skipped', 'file_too_large', CAST(100 AS BIGINT), NULL, NULL),
+  ('warc', 'https://ex.org/w1.html', 'page', NULL, CAST(11 AS BIGINT),
+   md5('<p>warc</p>'), '2024-01-02 00:00:00'),
+  ('warc', 'https://ex.org/w2.html', 'skipped', 'bad_record', CAST(3 AS BIGINT),
+   NULL, NULL)
+) AS t(source, member, item, skip_reason, byte_len, content_md5, ts)"""
+
+
 def q_kg_fuzzy_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 locality witness: per-call-site fuzzy resolution where the
     winner FLIPS on URL distance (reference scores candidates per call
@@ -1424,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degree": q_kg_node_degree,
         "kg_search_nodes": q_kg_search_nodes,
         "kg_fuzzy_locality": q_kg_fuzzy_locality,
+        "archive_pages": q_archive_pages,
         "embedding_near_dup": q_embedding_near_dup,
         "kg_span_attribution": q_kg_span_attribution,
         "kg_extraction_diagnostics": q_kg_extraction_diagnostics,
@@ -1476,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_degree": SQL_KG_NODE_DEGREE,
         "kg_search_nodes": SQL_KG_SEARCH_NODES,
         "kg_fuzzy_locality": SQL_KG_FUZZY_LOCALITY,
+        "archive_pages": SQL_ARCHIVE_PAGES,
         "embedding_near_dup": _sql_embedding_near_dup(),
         "kg_span_attribution": SQL_KG_SPAN_ATTRIBUTION,
         "kg_extraction_diagnostics": SQL_KG_EXTRACTION_DIAG,

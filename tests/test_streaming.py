@@ -112,3 +112,65 @@ def test_windowed_mention_counts_plan(spark):
            for r in windowed_mention_counts(batch).collect()}
     assert got == {("2024-01-01 00:00:00", "Acme"): 1,
                    ("2024-01-01 01:00:00", "Acme"): 1}
+
+
+def test_streaming_sessionize_equals_batch(spark, stream_dirs):
+    """VERDICT r02 #7: streaming ↔ batch sessionize equivalence on closed
+    input. Run the stateful streaming sessionizer with availableNow over
+    the events parquet and compare with the batch lag-based sessionizer.
+    On a single micro-batch every session CLOSED BY A LATER EVENT is
+    emitted; each user's final session stays open in state (it would emit
+    on the next watermark advance), so expected = batch sessions minus
+    the per-user last one."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from gitnexus_spark.streaming.ingest import streaming_sessionize
+
+    import os
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    os.makedirs(stream_dirs["in"], exist_ok=True)
+    shutil.copy(src, stream_dirs["in"] + "/events.parquet")
+    events_ddl = ("event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string")
+    stream = (spark.readStream.schema(events_ddl).parquet(stream_dirs["in"]))
+    sessions = streaming_sessionize(stream, gap_minutes=30)
+    q = (sessions.writeStream.format("parquet")
+         .option("path", stream_dirs["out"])
+         .option("checkpointLocation", stream_dirs["ckpt"])
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.read.parquet(stream_dirs["out"]).collect()}
+
+    # batch twin: identical lag-gap sessionization, aggregated to
+    # (start, end, count) per session
+    e = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_sess",
+                    (F.col("prev_ts").isNull() |
+                     (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800))
+                    .cast("int"))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"))
+    )
+    last = Window.partitionBy("user_id").orderBy(F.desc("session_id"))
+    ranked = sess.withColumn("rn", F.row_number().over(last))
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"],
+                     r["n_events"])
+    closed = {key(r) for r in ranked.filter("rn > 1").collect()}
+    final = {key(r) for r in ranked.filter("rn = 1").collect()}
+    # every closed-by-event session emits with EXACT batch boundaries;
+    # each user's final session emits iff its event-time timeout passed
+    # the final watermark — so any extra row must be a final session,
+    # byte-identical to the batch one
+    assert closed <= got, "missing closed sessions"
+    assert got <= closed | final, "streaming emitted a non-batch session"
+    assert len(closed) > 0
