@@ -81,28 +81,11 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, rel_type: str,
     )
 
 
-def k_hop(edges: DataFrame, start_ids: DataFrame, k: int,
-          direction: str = "out", rel_types: list[str] | None = None,
-          node_cap: int = DEFAULT_NODE_CAP) -> DataFrame:
-    """k-hop neighborhood (Q4, query.ts:97-152): iterative frontier joins.
-
-    start_ids: DataFrame with column `id`. Returns (id, hop) with the
-    minimum hop distance (<= k). Each hop is one join; AQE handles the
-    shrinking frontier. node_cap mirrors the reference's traversal cap.
-    """
-    e = edges
-    if rel_types:
-        e = e.filter(F.col("type").isin(rel_types))
-    if direction == "out":
-        adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id"))
-    elif direction == "in":
-        adj = e.select(F.col("dst").alias("from_id"), F.col("src").alias("to_id"))
-    else:  # both
-        adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id")) \
-            .unionByName(e.select(F.col("dst").alias("from_id"),
-                                  F.col("src").alias("to_id")))
-    adj = adj.dropDuplicates(["from_id", "to_id"]).persist()
-
+def _k_hop_frontier(adj: DataFrame, start_ids: DataFrame, k: int,
+                    node_cap: int) -> DataFrame:
+    """Shared BFS loop over an adjacency relation (from_id, to_id).
+    Duplicate adjacency pairs are harmless for correctness (the frontier
+    dedups on id), so pre-deduping is the caller's cost choice."""
     visited = start_ids.select(F.col("id")).dropDuplicates(["id"]) \
         .withColumn("hop", F.lit(0)).localCheckpoint()
     frontier = visited
@@ -125,8 +108,54 @@ def k_hop(edges: DataFrame, start_ids: DataFrame, k: int,
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    return visited
+
+
+def k_hop(edges: DataFrame, start_ids: DataFrame, k: int,
+          direction: str = "out", rel_types: list[str] | None = None,
+          node_cap: int = DEFAULT_NODE_CAP) -> DataFrame:
+    """k-hop neighborhood (Q4, query.ts:97-152): iterative frontier joins.
+
+    start_ids: DataFrame with column `id`. Returns (id, hop) with the
+    minimum hop distance (<= k). Each hop is one join; AQE handles the
+    shrinking frontier. node_cap mirrors the reference's traversal cap.
+    """
+    e = edges
+    if rel_types:
+        e = e.filter(F.col("type").isin(rel_types))
+    if direction == "out":
+        adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id"))
+    elif direction == "in":
+        adj = e.select(F.col("dst").alias("from_id"), F.col("src").alias("to_id"))
+    else:  # both
+        adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id")) \
+            .unionByName(e.select(F.col("dst").alias("from_id"),
+                                  F.col("src").alias("to_id")))
+    adj = adj.dropDuplicates(["from_id", "to_id"]).persist()
+    visited = _k_hop_frontier(adj, start_ids, k, node_cap)
     adj.unpersist()
     return visited
+
+
+def k_hop_bucketed(spark, table: str, start_ids: DataFrame, k: int,
+                   rel_types: list[str] | None = None,
+                   node_cap: int = DEFAULT_NODE_CAP) -> DataFrame:
+    """Q4 over the AT-REST adjacency index (write_adjacency_bucketed):
+    the edge table arrives pre-partitioned (bucketed+sorted) by src, so
+    every frontier join exchanges ONLY the tiny frontier side — Catalyst
+    reads the bucketed side's output partitioning and elides its shuffle
+    (asserted by tests/test_graph_queries.py::test_bucketed_k_hop_plan).
+    At 10^12 edges this is the difference between shuffling the edge set
+    once per hop and never.
+
+    Out-direction only: the bucket key is src (build a second table
+    bucketed by dst for reverse traversal, as the reference keeps two
+    adjacency maps, query.ts:30-60)."""
+    e = spark.table(table)
+    if rel_types:
+        e = e.filter(F.col("type").isin(rel_types))
+    adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id"))
+    return _k_hop_frontier(adj, start_ids, k, node_cap)
 
 
 def paths_between(edges: DataFrame, start_ids: DataFrame, end_ids: DataFrame,

@@ -84,6 +84,60 @@ def test_top_entities_by_mentions(graph):
     assert got[0]["name"] == "Acme" and got[0]["n_mentions"] == 2
 
 
+def test_bucketed_k_hop_plan(spark, graph):
+    """Q3 consumed by Q4: the frontier join against the at-rest bucketed
+    adjacency table must NOT shuffle the (large) edge side — only the tiny
+    frontier side gets an Exchange. Also: same answer as the in-memory path."""
+    import contextlib
+    import io
+    import shutil
+
+    from gitnexus_spark.operators.graph_queries import (
+        k_hop, k_hop_bucketed, write_adjacency_bucketed)
+
+    _, edges = graph
+    spark.sql("DROP TABLE IF EXISTS adj_khop")
+    shutil.rmtree("spark-warehouse/adj_khop", ignore_errors=True)
+    write_adjacency_bucketed(edges, "adj_khop", buckets=4)
+    try:
+        start = spark.createDataFrame([("n1",)], ["id"])
+        got = {r["id"]: r["hop"] for r in
+               k_hop_bucketed(spark, "adj_khop", start, 2,
+                              rel_types=["LINKS_TO"]).collect()}
+        want = {r["id"]: r["hop"] for r in
+                k_hop(edges, start, 2, rel_types=["LINKS_TO"]).collect()}
+        assert got == want == {"n1": 0, "n2": 1, "n5": 2}
+
+        # Plan shape: force a sort-merge join (no broadcast, no AQE noise)
+        # and assert the bucketed side reads in place (Bucketed: true) with
+        # exactly ONE Exchange in the whole join — the frontier side's.
+        old = {k: spark.conf.get(k) for k in
+               ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.enabled")}
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            adj = spark.table("adj_khop").select(
+                F.col("src").alias("from_id"), F.col("dst").alias("to_id"))
+            plan_df = start.join(adj, start.id == adj.from_id)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                plan_df.explain("formatted")
+            plan = buf.getvalue()
+            assert "Bucketed: true" in plan, plan
+            # formatted explain prints each node twice (tree + detail
+            # section) — count the numbered detail headings instead
+            import re
+            n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+            assert n_exchanges == 1, plan
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS adj_khop")
+        shutil.rmtree("spark-warehouse/adj_khop", ignore_errors=True)
+
+
 def test_sql_views(spark, graph):
     from gitnexus_spark.operators.graph_queries import register_views
 
