@@ -3,11 +3,13 @@
 Web pages carry images/audio/video; the pipeline treats them as
 `binary` columns with a typed metadata struct, processed by Arrow-batched
 mapInPandas stages. The Spark-side plumbing here (schemas, batch shapes,
-partitioning, UDF signatures) is real and tested; the actual codec work is
-stubbed behind an import-guard because image/audio libraries are not in
-this container — `decode_image` falls back to a deterministic fake that
-derives metadata from the byte content (so tests exercise the full
-distributed path end-to-end).
+partitioning, UDF signatures) is real and tested. Image DIMENSIONS are
+real for PNG/GIF/JPEG/PPM payloads via a stdlib header parser
+(`parse_image_header` — no codec library needed); full pixel decode and
+other formats are stubbed behind an import-guard because image/audio
+libraries are not in this container, falling back to a deterministic fake
+derived from the byte content (so tests exercise the full distributed
+path end-to-end).
 
 Design notes for 100 TB:
 - binary payloads ride in the same parquet/Iceberg row as their metadata
@@ -59,6 +61,66 @@ except ImportError:
 FEATURE_DIM = 16
 
 
+def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
+    """Stdlib-only image metadata: (format, width, height) for real PNG /
+    GIF / JPEG / PPM payloads, None otherwise. No codec library needed —
+    dimensions live in fixed/markered header positions:
+
+    - PNG: 8-byte signature, then the IHDR chunk is mandatory-first, so
+      width/height are the two big-endian u32 at bytes 16..24.
+    - GIF(87a|89a): logical screen descriptor — little-endian u16 pair at
+      bytes 6..10.
+    - JPEG: scan the marker stream for a start-of-frame (SOF0..15 minus
+      DHT/JPG/DAC); height/width are big-endian u16 at offsets 3/5 into
+      the segment payload.
+    - PPM (P6): ASCII header `P6 <w> <h> <maxval>` with #-comments.
+    """
+    import struct
+
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None  # not a marker where one must be — corrupt
+            marker = b[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    if len(b) >= 2 and b[:2] == b"P6":
+        fields: list[int] = []
+        tok = bytearray()
+        i = 2
+        while i < len(b) and len(fields) < 2:
+            c = b[i]
+            if c == 0x23:  # '#' comment to end of line
+                while i < len(b) and b[i] not in (0x0A, 0x0D):
+                    i += 1
+            elif 0x30 <= c <= 0x39:
+                tok.append(c)
+            elif c in (0x20, 0x09, 0x0A, 0x0D):
+                if tok:
+                    fields.append(int(tok.decode()))
+                    tok.clear()
+            else:
+                return None
+            i += 1
+        if len(fields) == 2:
+            return ("ppm", fields[0], fields[1])
+    return None
+
+
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for codec work: metadata + a FEATURE_DIM
     feature vector derived from the byte content (sha256-seeded), so the
@@ -93,18 +155,24 @@ def decode_assets(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
                     continue
                 b = bytes(payload)
                 w, hgt, nf, feat = _fake_decode(b, mt)
-                if _HAVE_PIL and mt == "image":
-                    # real metadata when PIL can decode the payload; any
+                if mt == "image":
+                    # real metadata first: stdlib header parse covers
+                    # PNG/GIF/JPEG/PPM with no codec dependency; PIL (when
+                    # present) extends coverage to every other format. Any
                     # failure (fake bytes, truncated image) falls back to
-                    # the deterministic stand-in instead of failing tasks
-                    try:
-                        import io
+                    # the deterministic stand-in instead of failing tasks.
+                    hdr = parse_image_header(b)
+                    if hdr is not None:
+                        _, w, hgt = hdr
+                    elif _HAVE_PIL:
+                        try:
+                            import io
 
-                        import PIL.Image
-                        with PIL.Image.open(io.BytesIO(b)) as img:
-                            w, hgt = img.width, img.height
-                    except Exception:
-                        pass
+                            import PIL.Image
+                            with PIL.Image.open(io.BytesIO(b)) as img:
+                                w, hgt = img.width, img.height
+                        except Exception:
+                            pass
                 rows.append((aid, url, mt, len(b),
                              hashlib.sha256(b).hexdigest(), w, hgt, nf, feat))
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])

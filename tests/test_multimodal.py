@@ -54,6 +54,59 @@ def test_frame_sampling(assets):
     assert len(frames) >= 1
 
 
+def _real_png(w, h):
+    """A genuinely valid minimal PNG (correct CRCs, 1 opaque RGB row set)."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f\x00\x7f" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_parse_image_header_golden_bytes():
+    import struct
+
+    from gitnexus_spark.multimodal.binary_ops import parse_image_header
+
+    assert parse_image_header(_real_png(3, 2)) == ("png", 3, 2)
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00" * 6
+    assert parse_image_header(gif) == ("gif", 640, 480)
+    jpeg = (b"\xff\xd8"                                   # SOI
+            + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640)
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")  # SOF0
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+    ppm = b"P6\n# a comment\n12 34\n255\n" + b"\x00" * 10
+    assert parse_image_header(ppm) == ("ppm", 12, 34)
+    # malformed / non-image payloads -> None (fake fallback downstream)
+    assert parse_image_header(b"\x89PNG fake image bytes") is None
+    assert parse_image_header(b"\xff\xd8\x00garbage") is None
+    assert parse_image_header(b"plain text") is None
+    assert parse_image_header(b"") is None
+
+
+def test_decode_assets_real_png_header(spark):
+    """End-to-end: a real PNG payload yields its true dimensions through
+    the distributed decode stage, no codec library involved."""
+    from gitnexus_spark.multimodal.binary_ops import decode_assets
+
+    png = _real_png(7, 5)
+    df = spark.createDataFrame(
+        [("p1", "u1", "image", png), ("p2", "u2", "image", b"not an image")],
+        "asset_id string, url string, media_type string, payload binary")
+    got = {r["asset_id"]: r.asDict() for r in decode_assets(df).collect()}
+    assert (got["p1"]["width"], got["p1"]["height"]) == (7, 5)
+    assert got["p1"]["byte_len"] == len(png)
+    # non-image bytes keep the deterministic fake (bounded, stable)
+    assert 16 <= got["p2"]["width"] <= 255
+
+
 def test_resize_stub_contract(assets):
     from gitnexus_spark.multimodal.binary_ops import decode_assets, resize_stub
 
