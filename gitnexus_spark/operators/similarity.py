@@ -19,8 +19,11 @@ Scale shape (VERDICT r01 what's-wrong #4 fixed):
   partial aggregation on (q_id, partition_id), then a final merge over
   #queries x #partitions candidate rows — bounded, tiny.
 - IVF cell assignment is scan-local: the leader set is collected once
-  (n_cells rows) and inlined as a literal array; the per-vector argmax
-  is one expression — no explode, no crossJoin, no window, no shuffle.
+  (n_cells rows) and shipped in the task closure of ONE Arrow-batched
+  pass (_assign_cells) whose vectorized fold is bit-exact with the SQL
+  cosine — no explode, no crossJoin, no window, no shuffle, and no
+  n_cells-term in the expression tree (a literal-array argmax was fine
+  at 16 cells but interpreted-fold-per-leader-per-row at sqrt(n)).
 """
 
 from __future__ import annotations
@@ -178,21 +181,64 @@ def select_leaders(corpus: DataFrame, n_cells: int,
     )
 
 
-def _leaders_literal(leaders: DataFrame, id_col: str, vec_col: str,
-                     rows: list | None = None) -> F.Column:
-    """Collect the (tiny, deterministic) leader set and inline it as a
-    literal array<struct<cell_id, cell_vec:array<double>>> so assignment
-    is a scan-local expression (no join against the corpus). Pass ``rows``
-    (a prior .collect()) to reuse one collection across stages."""
-    if rows is None:
-        rows = leaders.select(id_col, vec_col).collect()
-    return F.array(*[
-        F.struct(
-            F.lit(r[0]).alias("cell_id"),
-            F.array(*[F.lit(float(x)) for x in r[1]]).alias("cell_vec"),
-        )
-        for r in rows
-    ])
+def _fold_cosine_matrix(V, L, np):
+    """Cosine of every (row, leader) pair with LEFT-TO-RIGHT sequential
+    folds in float64 — the exact IEEE operation sequence of the SQL
+    DOT/NORM expressions (acc = acc + x*y, element by element), vectorized
+    ACROSS pairs instead of along the vector axis. Bit-identical to the
+    expression path / DuckDB oracle by construction; ~d numpy ops per
+    batch instead of n_cells interpreted higher-order folds per row."""
+    n, d = V.shape
+    dot = np.zeros((n, L.shape[0]))
+    nv = np.zeros(n)
+    nl = np.zeros(L.shape[0])
+    for j in range(d):
+        vj, lj = V[:, j], L[:, j]
+        dot += vj[:, None] * lj[None, :]
+        nv += vj * vj
+        nl += lj * lj
+    return dot / (np.sqrt(nv)[:, None] * np.sqrt(nl)[None, :])
+
+
+def _assign_cells(df: DataFrame, leader_rows: list, n_top: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Scan-local cell assignment: each row gets its n_top argmax-cosine
+    leaders (ties: cell_id ASC; NaN scores sort last — Spark double
+    ordering). One Arrow-batched pass, zero shuffles; the leader matrix
+    rides the task closure (n_cells x d doubles — 32 MB at the sqrt(n)
+    rule for a 10^9-row corpus; beyond that, shard the coarse quantizer
+    hierarchically). Replaces the literal-array expression (VERDICT r02:
+    fine at 16 cells, interpreted-fold-per-leader-per-row at sqrt(n))."""
+    import numpy as np
+    import pandas as pd
+
+    # leaders pre-sorted by cell_id ASC -> a STABLE argsort on the neg
+    # scores yields exactly array_sort(struct(neg, cell_id)) order
+    rows = sorted([(r[0], r[1]) for r in leader_rows], key=lambda r: r[0])
+    cell_ids = [r[0] for r in rows]
+    L = np.array([r[1] for r in rows], dtype=np.float64)
+    n_top_eff = min(n_top, len(rows))
+
+    src = df.select(id_col, vec_col)
+    id_field = src.schema[id_col]
+    vec_field = src.schema[vec_col]
+    from pyspark.sql.types import StructField, StructType
+    schema = StructType([id_field, vec_field,
+                         StructField("cell_id", id_field.dataType)])
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            neg = -_fold_cosine_matrix(V, L, np)
+            top = np.argsort(neg, axis=1, kind="stable")[:, :n_top_eff]
+            out = pdf.loc[pdf.index.repeat(n_top_eff)].reset_index(drop=True)
+            out["cell_id"] = pd.Series(
+                [cell_ids[c] for r in top for c in r])
+            yield out
+    return src.mapInPandas(run, schema=schema)
 
 
 def ivf_assign(corpus: DataFrame, n_cells: int | None = None,
@@ -210,29 +256,17 @@ def ivf_assign(corpus: DataFrame, n_cells: int | None = None,
     ASC); multi-assignment closes the boundary-recall gap for pairwise
     ops at n_assign-x storage. Returns (leaders, assigned).
 
-    The leader set is inlined as a literal array, so assignment is ONE
-    corpus scan with zero shuffles (transform + array_sort + slice per
-    row) — at 10^12 rows there is no exchange at all until the caller
+    Assignment is ONE Arrow-batched corpus scan with zero shuffles
+    (_assign_cells: vectorized fold, bit-exact with the SQL/DuckDB
+    cosine) — at 10^12 rows there is no exchange at all until the caller
     buckets by cell_id.
     """
     if n_cells is None:
         n_cells = default_n_cells(corpus.count())
     leaders = select_leaders(corpus, n_cells, id_col, vec_col)
-    lit = _leaders_literal(leaders, "cell_id", "cell_vec", rows=leader_rows)
-    dot = DOT.format(a=vec_col, b="l.cell_vec")
-    norm_v = NORM.format(a=vec_col)
-    norm_l = NORM.format(a="l.cell_vec")
-    cands = F.expr(
-        f"slice(array_sort(transform(_leaders, l -> "
-        f"struct(-(({dot}) / (({norm_v}) * ({norm_l}))) AS neg, l.cell_id AS cell_id)"
-        f")), 1, {n_assign})"
-    )
-    assigned = (
-        corpus.select(id_col, vec_col)
-        .withColumn("_leaders", lit)
-        .withColumn("_top", cands)
-        .select(id_col, vec_col, F.explode("_top.cell_id").alias("cell_id"))
-    )
+    if leader_rows is None:
+        leader_rows = leaders.collect()
+    assigned = _assign_cells(corpus, leader_rows, n_assign, id_col, vec_col)
     return leaders, assigned
 
 
@@ -257,22 +291,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     leader_rows = select_leaders(corpus, n_cells, id_col, vec_col).collect()
     leaders, assigned = ivf_assign(corpus, n_cells, id_col, vec_col,
                                    n_assign=n_assign, leader_rows=leader_rows)
-
-    lit = _leaders_literal(leaders, "cell_id", "cell_vec", rows=leader_rows)
-    dot = DOT.format(a=q_vec_col, b="l.cell_vec")
-    norm_q = NORM.format(a=q_vec_col)
-    norm_l = NORM.format(a="l.cell_vec")
-    probe_cells = F.expr(
-        f"slice(array_sort(transform(_leaders, l -> "
-        f"struct(-(({dot}) / (({norm_q}) * ({norm_l}))) AS neg, l.cell_id AS cell_id)"
-        f")), 1, {n_probe})"
-    )
-    probes = (
-        queries.select(q_id_col, q_vec_col)
-        .withColumn("_leaders", lit)
-        .withColumn("_top", probe_cells)
-        .select(q_id_col, q_vec_col, F.explode("_top.cell_id").alias("cell_id"))
-    )
+    probes = _assign_cells(queries, leader_rows, n_probe, q_id_col, q_vec_col)
     cand = assigned.join(F.broadcast(probes), "cell_id") \
                    .dropDuplicates([q_id_col, id_col])
     scored = cand.withColumn("score", F.round(cosine_expr(vec_col, q_vec_col), 6))
