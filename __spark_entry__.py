@@ -1475,6 +1475,43 @@ SQL_KG_FUZZY_LOCALITY = """SELECT
 FROM documents"""
 
 
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 MERGE INTO semantics (sources/snapshots.py, the incremental
+    re-ingest plan a new crawl commits as a snapshot): upsert a derived
+    update set into the documents table — doc_id%7 rows updated in place
+    (source='merged', n_chars+1000), doc_id%13 rows re-keyed as inserts,
+    everything else untouched. Pure declarative plan (one full-outer
+    join), so the commit path is oracle-checkable without writes."""
+    from gitnexus_spark.sources.snapshots import merge_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.select("doc_id", "lang", "source", "n_chars")
+    updates = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "lang", F.lit("merged").alias("source"),
+                (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "lang",
+                    F.lit("inserted").alias("source"), "n_chars"))
+    )
+    return merge_frames(target, updates, ["doc_id"])
+
+
+SQL_SNAPSHOT_MERGE = """WITH upd AS (
+  SELECT doc_id, lang, 'merged' AS source, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, 'inserted' AS source, n_chars
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(s.doc_id, t.doc_id) AS doc_id,
+  CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+  CASE WHEN s.doc_id IS NOT NULL THEN s.source ELSE t.source END AS source,
+  CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE t.n_chars END AS n_chars
+FROM documents t FULL OUTER JOIN upd s ON t.doc_id = s.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1534,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "snapshot_merge": q_snapshot_merge,
     }
 
 
@@ -1587,4 +1625,5 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann_ivf": _sql_ann_ivf(),
+        "snapshot_merge": SQL_SNAPSHOT_MERGE,
     }

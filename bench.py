@@ -96,8 +96,32 @@ def main() -> None:
         "sf": SF,
         **extras,
     }))
+    _ledger_append(timings, extras)
     shutil.rmtree(out_dir, ignore_errors=True)
     spark.stop()
+
+
+QUERY_LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", ".query_trials.json")
+
+
+def _ledger_append(timings: dict, extras: dict) -> None:
+    """Per-query trial ledger: this host is noisy (3x run-to-run swings),
+    so round-over-round comparisons must be over best-of-trials minima —
+    every bench run appends its per-query walls; tools/query_ledger.py
+    reports the minima (same discipline as tools/scaling_bench.py)."""
+    try:
+        with open(QUERY_LEDGER) as f:
+            ledger = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        ledger = []
+    ledger.append({"ts": round(time.time(), 1), "sf": SF, "cpus": CPUS,
+                   "rep": REP, "queries": timings, **extras})
+    try:
+        with open(QUERY_LEDGER, "w") as f:
+            json.dump(ledger, f, indent=1)
+    except OSError:
+        pass  # bench output matters more than the ledger
 
 
 if __name__ == "__main__":

@@ -1,0 +1,105 @@
+"""S7 snapshot semantics at rest: history, time travel, tags, MERGE
+INTO, expiry — and the writer as a drop-in KGPipeline checkpoint seam."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def writer(spark):
+    from gitnexus_spark.sources.snapshots import SnapshotWriter
+
+    return SnapshotWriter(spark)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, n long")
+
+
+def test_snapshot_history_and_time_travel(spark, writer, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = writer.write(_df(spark, [(1, "en", 10), (2, "de", 20)]), t)
+    s2 = writer.write(_df(spark, [(1, "en", 11)]), t, tag="v2")
+    assert (s1, s2) == (1, 2)
+
+    hist = writer.history(t)
+    assert [e["snapshot_id"] for e in hist] == [1, 2]
+    assert hist[0]["rows"] == 2 and hist[1]["rows"] == 1
+    assert hist[1]["parent_id"] == 1
+
+    # latest, by id, by tag, by timestamp
+    assert writer.read(t).count() == 1
+    assert writer.read(t, snapshot_id=1).count() == 2
+    assert writer.read(t, tag="v2").count() == 1
+    assert writer.read(t, as_of_ts=hist[0]["ts"]).count() == 2
+    with pytest.raises(KeyError):
+        writer.read(t, tag="nope")
+    assert writer.exists(t)
+    assert not writer.exists(str(tmp_path / "missing"))
+
+
+def test_merge_into_upsert(spark, writer, tmp_path):
+    t = str(tmp_path / "tbl")
+    writer.write(_df(spark, [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]), t)
+    # update doc 2, insert doc 9, leave 1 and 3 untouched
+    writer.merge_into(t, _df(spark, [(2, "de", 99), (9, "it", 90)]),
+                      key_cols=["doc_id"])
+    got = {r["doc_id"]: (r["lang"], r["n"]) for r in writer.read(t).collect()}
+    assert got == {1: ("en", 10), 2: ("de", 99), 3: ("fr", 30),
+                   9: ("it", 90)}
+    # copy-on-write: the pre-merge snapshot still reads the old values
+    old = {r["doc_id"]: r["n"]
+           for r in writer.read(t, snapshot_id=1).collect()}
+    assert old == {1: 10, 2: 20, 3: 30}
+    assert writer.history(t)[-1]["op"] == "merge"
+
+
+def test_merge_preserves_partitioning(spark, writer, tmp_path):
+    t = str(tmp_path / "tbl")
+    writer.write(_df(spark, [(1, "en", 10), (2, "de", 20)]), t,
+                 partition_by=["lang"])
+    writer.merge_into(t, _df(spark, [(3, "en", 30)]), key_cols=["doc_id"])
+    last = writer.history(t)[-1]
+    assert last["partition_by"] == ["lang"]
+    assert os.path.isdir(os.path.join(t, last["dir"], "lang=en"))
+
+
+def test_expire_keeps_tags_and_latest(spark, writer, tmp_path):
+    t = str(tmp_path / "tbl")
+    writer.write(_df(spark, [(1, "en", 1)]), t)
+    writer.write(_df(spark, [(2, "en", 2)]), t, tag="pin")
+    writer.write(_df(spark, [(3, "en", 3)]), t)
+    writer.write(_df(spark, [(4, "en", 4)]), t)
+    expired = writer.expire_snapshots(t, keep_last=1)
+    assert expired == [1, 3]                       # tagged 2 pinned, 4 kept
+    assert writer.read(t, tag="pin").count() == 1  # pinned still readable
+    assert writer.read(t).first()["doc_id"] == 4
+    with pytest.raises(KeyError):
+        writer.read(t, snapshot_id=1)              # expired id unreadable
+
+
+def test_pipeline_with_snapshot_writer(spark, sf_dir, tmp_path):
+    """Every pass checkpoint becomes snapshot history; a re-run resumes
+    from the committed snapshots (same contract as the parquet seam)."""
+    from gitnexus_spark.plans.pipeline import KGPipeline
+    from gitnexus_spark.sources.snapshots import SnapshotWriter
+    from gitnexus_spark.synthetic import alias_dictionary, synth_pages
+
+    out = str(tmp_path / "kg")
+    pages = synth_pages(spark, sf_dir).limit(60)
+    w = SnapshotWriter(spark)
+    res = KGPipeline(spark, out, alias_dict=alias_dictionary(spark),
+                     writer=w).run(pages)
+    n_nodes = res["nodes"].count()
+    assert n_nodes > 0
+    assert w.history(os.path.join(out, "nodes"))[-1]["rows"] == n_nodes
+
+    # resume: second run reads committed snapshots, adds none
+    before = {p: len(w.history(os.path.join(out, p)))
+              for p in ("extracted", "nodes", "edges")}
+    KGPipeline(spark, out, alias_dict=alias_dictionary(spark),
+               writer=w).run(pages)
+    after = {p: len(w.history(os.path.join(out, p))) for p in before}
+    assert after == before
