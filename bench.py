@@ -28,14 +28,7 @@ REP = int(os.environ.get("SPARK_GRAFT_KG_REP", "4"))
 SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
 
-def replicate_pages(pages, rep: int):
-    """rep deterministic url variants per page (same text/html)."""
-    if rep <= 1:
-        return pages
-    return pages.crossJoin(
-        F.broadcast(pages.sparkSession.range(rep).select(F.col("id").alias("rep_i")))
-    ).withColumn("url", F.concat_ws("", "url", F.lit("?v="), F.col("rep_i"))) \
-     .drop("rep_i")
+from gitnexus_spark.synthetic import replicate_pages  # noqa: E402  (re-export: scaling_bench + jobs import it from here historically)
 
 
 def main() -> None:

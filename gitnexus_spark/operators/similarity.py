@@ -298,6 +298,52 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _topk_merge(scored.select(q_id_col, id_col, "score"), k, q_id_col, id_col)
 
 
+def write_ivf_index(corpus: DataFrame, path: str,
+                    n_cells: int | None = None, n_assign: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the IVF index AT REST: leaders as one small parquet,
+    assignments partitioned by cell_id — a probe then reads ONLY its
+    matching cell directories (partition pruning), the at-rest analogue
+    of an inverted-list seek. Build cost: one corpus scan + one write;
+    at 10^12 rows the partitioned layout is what makes every later query
+    touch ~n_probe/n_cells of the data instead of all of it."""
+    import os
+
+    leaders, assigned = ivf_assign(corpus, n_cells, id_col, vec_col,
+                                   n_assign=n_assign)
+    leaders.write.mode("overwrite").parquet(os.path.join(path, "leaders"))
+    assigned.write.mode("overwrite").partitionBy("cell_id") \
+        .parquet(os.path.join(path, "assigned"))
+
+
+def ivf_topk_at_rest(spark, path: str, queries: DataFrame, k: int = 10,
+                     n_probe: int | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id",
+                     q_vec_col: str = "q_vec") -> DataFrame:
+    """ANN top-k against a write_ivf_index layout. The probe cell set is
+    collected (bounded: #queries x n_probe ids — queries are small by
+    contract) and pushed as a STATIC partition filter `cell_id IN (...)`,
+    so the scan prunes to the probed directories before any join —
+    dynamic partition pruning needn't fire. Verified by the
+    PartitionFilters plan test in tests/test_similarity.py."""
+    import os
+
+    leader_rows = spark.read.parquet(os.path.join(path, "leaders")).collect()
+    if n_probe is None:
+        n_probe = default_n_probe(len(leader_rows))
+    probes = _assign_cells(queries, leader_rows, n_probe, q_id_col, q_vec_col)
+    probe_cells = sorted({r["cell_id"] for r in
+                          probes.select("cell_id").distinct().collect()})
+    assigned = spark.read.parquet(os.path.join(path, "assigned")) \
+        .filter(F.col("cell_id").isin(probe_cells))
+    cand = assigned.join(F.broadcast(probes), "cell_id") \
+                   .dropDuplicates([q_id_col, id_col])
+    scored = cand.withColumn("score", F.round(cosine_expr(vec_col, q_vec_col), 6))
+    return _topk_merge(scored.select(q_id_col, id_col, "score"), k, q_id_col, id_col)
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              n_cells: int | None = None,
                              id_col: str = "vec_id",

@@ -96,6 +96,19 @@ def render_html(doc_id: int, url: str, text: str, nav_urls: list[str]) -> bytes:
 _SYNTH_NDOCS: dict[str, int] = {}
 
 
+def replicate_pages(pages: DataFrame, rep: int) -> DataFrame:
+    """rep deterministic url variants per page (same text/html) — scales a
+    small synthetic corpus to bench/scaling input sizes. Lives in the
+    package (not bench.py) so a `spark-submit --py-files gitnexus_spark.zip`
+    deployment resolves it."""
+    if rep <= 1:
+        return pages
+    return pages.crossJoin(
+        F.broadcast(pages.sparkSession.range(rep).select(F.col("id").alias("rep_i")))
+    ).withColumn("url", F.concat_ws("", "url", F.lit("?v="), F.col("rep_i"))) \
+     .drop("rep_i")
+
+
 def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet -> pages(url, warc_ts, html, text, lang).
 

@@ -50,7 +50,7 @@ def main() -> None:
         pages = synth_pages(spark, args.input.split(":", 1)[1])
         alias = alias_dictionary(spark)
         if args.rep > 1:
-            from bench import replicate_pages
+            from gitnexus_spark.synthetic import replicate_pages
 
             pages = replicate_pages(pages, args.rep)
     else:

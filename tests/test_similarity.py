@@ -76,6 +76,46 @@ def test_ivf_scaled_defaults_recall_sf01(spark):
     assert recall >= 0.6, f"scaled-IVF recall {recall} below floor"
 
 
+def test_ivf_at_rest_pruned_and_consistent(spark, emb, queries, tmp_path):
+    """write_ivf_index + ivf_topk_at_rest: same answers as the in-memory
+    path (same leaders/params), and the probe scan PRUNES to the probed
+    cell directories (static partition filter — no full-index read)."""
+    import contextlib
+    import io
+    import os
+
+    from gitnexus_spark.operators.similarity import (default_n_probe,
+                                                     ivf_topk,
+                                                     ivf_topk_at_rest,
+                                                     write_ivf_index)
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, n_cells=16, n_assign=2)
+    n_cells_on_disk = len([d for d in os.listdir(os.path.join(idx, "assigned"))
+                           if d.startswith("cell_id=")])
+    got = ivf_topk_at_rest(spark, idx, queries, k=5, n_probe=6)
+    want = {(r["q_id"], r["rank"]): r["vec_id"] for r in
+            ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6,
+                     n_assign=2).collect()}
+    assert {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in got.collect()} == want
+
+    assert n_cells_on_disk >= 2  # layout is actually partitioned
+
+    # a narrow probe (1 query, n_probe=2) must reach the scan as a
+    # partition filter over at most 2 of the 16 cell directories
+    one_q = queries.limit(1)
+    narrow = ivf_topk_at_rest(spark, idx, one_q, k=5, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        narrow.explain("formatted")
+    plan = buf.getvalue()
+    import re
+    m = re.search(r"PartitionFilters: \[cell_id#\d+L? IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 2
+
+
 def test_near_dup_pairs_symmetric_canonical(spark):
     from gitnexus_spark.operators.similarity import embedding_near_dup_pairs
 
