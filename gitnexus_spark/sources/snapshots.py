@@ -126,6 +126,25 @@ class SnapshotWriter:
         return self.write(merged, path, partition_by=part, op="merge",
                           tag=tag)
 
+    def replace_into(self, path: str, source: DataFrame,
+                     match_cols: list[str], tag: str | None = None) -> int:
+        """Iceberg dynamic-overwrite (`overwritePartitions`) analogue:
+        every target row whose match_cols tuple occurs in `source` is
+        replaced by the source rows for that tuple (delete + insert),
+        all other rows are untouched. This is the correct merge for
+        one-to-many DERIVED tables keyed by a parent — e.g. a re-crawled
+        url replaces the page's whole extracted row set, however many
+        rows it previously produced (row-level merge_into can't shrink a
+        group). One anti-join on the key set; AQE broadcasts it when the
+        batch is small."""
+        if not self.exists(path):
+            return self.write(source, path, op="replace", tag=tag)
+        keys = source.select(*match_cols).dropDuplicates(match_cols)
+        kept = self.read(path).join(keys, match_cols, "left_anti")
+        part = _load_manifest(path)[-1].get("partition_by") or None
+        return self.write(kept.unionByName(source), path,
+                          partition_by=part, op="replace", tag=tag)
+
     def tag(self, path: str, snapshot_id: int, name: str) -> None:
         manifest = _load_manifest(path)
         for e in manifest:

@@ -69,6 +69,47 @@ def start_extraction_stream(pages_stream: DataFrame, out_dir: str,
     )
 
 
+def start_incremental_reingest(pages_stream: DataFrame, table_dir: str,
+                               checkpoint_dir: str):
+    """Incremental RE-INGEST (trie.ts:228-254 / SURVEY `overwritePartitions`
+    analogue): each micro-batch's pages are extracted with the batch
+    operator and committed to the extracted snapshot table with
+    replace-by-url semantics — a re-crawled url's previous derived rows
+    (all of them) are replaced by the new extraction, new urls append,
+    untouched urls keep their rows. Every micro-batch is one snapshot:
+    the table's history IS the crawl history (time travel to any crawl
+    state), and a restart resumes from the stream checkpoint without
+    double-applying a batch (the replace is idempotent per url set).
+
+    Unlike start_extraction_stream, urls are NOT deduped with stateful
+    cross-batch state: a later fetch of a known url is an intentional
+    re-crawl, not a duplicate. Dedup is within-batch only — the latest
+    warc_ts per url wins (two fetches in one crawl batch collapse)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import SnapshotWriter
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = (
+            batch_df.withColumn(
+                "_rn", F.row_number().over(
+                    Window.partitionBy("url")
+                    .orderBy(F.col("warc_ts").desc_nulls_last(), "html")))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+        writer = SnapshotWriter(batch_df.sparkSession)
+        writer.replace_into(table_dir, extract_all(latest), ["url"])
+
+    return (
+        pages_stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_OUTPUT_DDL = ("user_id bigint, session_start timestamp, "
                       "session_end timestamp, n_events bigint")
 SESSION_STATE_DDL = "start timestamp, last timestamp, n bigint"

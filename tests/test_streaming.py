@@ -56,6 +56,52 @@ def test_stream_extraction_end_to_end(spark, stream_dirs):
     assert out2.filter("item = 'triple'").count() == 3
 
 
+def test_incremental_reingest_replaces_recrawled_urls(spark, stream_dirs):
+    """A re-crawl of u1 must REPLACE u1's whole derived row set in the
+    extracted snapshot table (not append a second copy), new urls append,
+    untouched urls persist — and each crawl batch is a time-travelable
+    snapshot."""
+    import datetime as dt
+
+    from gitnexus_spark.sources.snapshots import SnapshotWriter
+    from gitnexus_spark.streaming.ingest import (read_page_stream,
+                                                 start_incremental_reingest)
+
+    tbl = stream_dirs["out"]
+    ts = dt.datetime(2024, 1, 1)
+    _write_batch(spark, stream_dirs["in"], [
+        ("u1", ts, b"<p>Acme founded Zorg.</p>", "Acme founded Zorg.", "en"),
+        ("u2", ts, b"<p>Beta visited Acme.</p>", "Beta visited Acme.", "en"),
+    ])
+    q = start_incremental_reingest(read_page_stream(spark, stream_dirs["in"]),
+                                   tbl, stream_dirs["ckpt"])
+    q.awaitTermination(120)
+
+    # crawl 2: u1 re-crawled with NEW content, u3 is new, u2 untouched
+    ts2 = dt.datetime(2024, 1, 2)
+    _write_batch(spark, stream_dirs["in"], [
+        ("u1", ts2, b"<p>Acme acquired Beta.</p>", "Acme acquired Beta.", "en"),
+        ("u3", ts2, b"<p>Gamma endorsed Acme.</p>", "Gamma endorsed Acme.", "en"),
+    ])
+    q2 = start_incremental_reingest(read_page_stream(spark, stream_dirs["in"]),
+                                    tbl, stream_dirs["ckpt"])
+    q2.awaitTermination(120)
+
+    w = SnapshotWriter(spark)
+    triples = {(r["url"], r["name"], r["pred"], r["obj"]) for r in
+               w.read(tbl).filter("item = 'triple'").collect()}
+    assert triples == {
+        ("u1", "Acme", "acquired", "Beta"),   # replaced, no stale row
+        ("u2", "Beta", "visited", "Acme"),    # untouched survivor
+        ("u3", "Gamma", "endorsed", "Acme"),  # appended
+    }
+    # crawl history is time travel: snapshot 1 still has the OLD u1
+    first = {(r["url"], r["name"], r["pred"], r["obj"]) for r in
+             w.read(tbl, snapshot_id=1).filter("item = 'triple'").collect()}
+    assert ("u1", "Acme", "founded", "Zorg") in first
+    assert [e["op"] for e in w.history(tbl)] == ["replace", "replace"]
+
+
 def test_streaming_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState session windows: two micro-batches; batch 2's
     late-clock events advance the watermark past batch 1's sessions, so
