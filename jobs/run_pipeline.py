@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--rep", type=int, default=1,
                     help="synthetic corpus replication factor")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--table-format", choices=["parquet", "snapshot"],
+                    default="parquet",
+                    help="'snapshot' commits every pass through the "
+                         "snapshot-at-rest layer (history/time travel; "
+                         "sources/snapshots.py) instead of bare parquet")
     args = ap.parse_args()
 
     from gitnexus_spark.plans.pipeline import KGPipeline, integrity_checks
@@ -57,7 +62,12 @@ def main() -> None:
         pages = spark.read.parquet(args.input)
         alias = spark.read.parquet(args.alias_dict) if args.alias_dict else None
 
-    pipe = KGPipeline(spark, args.output, alias_dict=alias)
+    writer = None
+    if args.table_format == "snapshot":
+        from gitnexus_spark.sources.snapshots import SnapshotWriter
+
+        writer = SnapshotWriter(spark)
+    pipe = KGPipeline(spark, args.output, alias_dict=alias, writer=writer)
     t0 = time.time()
     out = pipe.run(pages)
     wall = time.time() - t0
