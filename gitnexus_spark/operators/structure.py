@@ -79,11 +79,21 @@ def normalize_link_targets(links: DataFrame, base_col: str = "url",
                 .select(*links.columns)
 
 
-def structure_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+def structure_graph(pages: DataFrame,
+                    cache_handles: list | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
     """pages(url, ...) -> (nodes, edges) of the containment hierarchy.
 
     nodes: (id, label, name, url)   — url only set for Page nodes
     edges: (id, type, src, dst)     — type = CONTAINS
+
+    The prefix explosion and the deduped section set feed FOUR downstream
+    branches (section nodes; domain->section, section->section edges;
+    deepest-container join) — without caching, each branch re-runs the
+    explode and the edges write re-shuffles it three times (the r3
+    lineage showed struct walls rivaling extraction). Pass
+    `cache_handles=[]` to persist these two intermediates; the persisted
+    frames are appended for the caller to unpersist after its writes.
     """
     p = pages.select(
         "url",
@@ -124,6 +134,9 @@ def structure_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.expr("transform(dirs, (d, i) -> concat_ws('/', slice(dirs, 1, i + 1)))")
         ).alias("depth", "prefix"),
     ).filter(F.col("prefix").isNotNull())
+    if cache_handles is not None:
+        prefixes = prefixes.persist()
+        cache_handles.append(prefixes)
 
     section_key = F.concat_ws("/", F.col("host"), F.col("prefix"))
     section_nodes = (
@@ -160,6 +173,9 @@ def structure_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         "host", "prefix", "depth",
         node_id("Section", section_key).alias("sid"),
     ).dropDuplicates(["sid"])
+    if cache_handles is not None:
+        sec = sec.persist()
+        cache_handles.append(sec)
     e_ds = sec.filter(F.col("depth") == 0).select(
         F.lit("CONTAINS").alias("type"),
         node_id("Domain", F.col("host")).alias("src"),

@@ -160,7 +160,9 @@ class KGPipeline:
         # written (concurrently) as separate tables (ADVICE r02 #5 — the
         # previous two independent calls doubled this fixed cost).
         urls = pages_text.select("url").persist()
-        s_nodes_df, s_edges_df = structure_graph(urls)
+        struct_caches: list = []
+        s_nodes_df, s_edges_df = structure_graph(urls,
+                                                 cache_handles=struct_caches)
         with ThreadPoolExecutor(3) as pool:
             f_sn = pool.submit(self._load_or, "struct_nodes", lambda: s_nodes_df)
             f_se = pool.submit(self._load_or, "struct_edges", lambda: s_edges_df)
@@ -168,6 +170,8 @@ class KGPipeline:
             struct_nodes, struct_edges, registry = \
                 f_sn.result(), f_se.result(), f_reg.result()
         urls.unpersist()
+        for df in struct_caches:
+            df.unpersist()
 
         # 3a: the name-keyed resolution map (alias / global-exact / fuzzy)
         # over DISTINCT endpoint surface forms — vocabulary-scale, broadcast
