@@ -44,15 +44,18 @@ def guarded_sql(spark, sql: str, auto_limit: int = AUTO_LIMIT) -> DataFrame:
 
 
 def write_adjacency_bucketed(edges: DataFrame, table: str,
-                             buckets: int = 64) -> None:
+                             buckets: int = 64, key: str = "src") -> None:
     """Q3 adjacency indexing at rest: persist the edge table bucketed AND
-    sorted by src (plus type partitioning upstream). Frontier joins and
-    degree scans against a bucketed table co-locate on bucket id —
-    Catalyst elides the exchange on the bucketed side; at 10^12 edges
-    that is the difference between one scan and a full shuffle. (The
-    reference's in-memory Map adjacency index, query.ts:30-60, has no
-    at-rest analogue — this is the Spark-native equivalent.)"""
-    edges.write.bucketBy(buckets, "src").sortBy("src") \
+    sorted by the traversal key (plus type partitioning upstream).
+    Frontier joins and degree scans against a bucketed table co-locate on
+    bucket id — Catalyst elides the exchange on the bucketed side; at
+    10^12 edges that is the difference between one scan and a full
+    shuffle. The reference keeps TWO in-memory adjacency maps (out and
+    in, query.ts:30-60); the at-rest analogue is two bucketed tables,
+    key='src' for outbound and key='dst' for inbound traversal."""
+    if key not in ("src", "dst"):
+        raise ValueError(f"bucket key must be src or dst, got {key!r}")
+    edges.write.bucketBy(buckets, key).sortBy(key) \
         .mode("overwrite").format("parquet").saveAsTable(table)
 
 
@@ -138,23 +141,32 @@ def k_hop(edges: DataFrame, start_ids: DataFrame, k: int,
 
 
 def k_hop_bucketed(spark, table: str, start_ids: DataFrame, k: int,
+                   direction: str = "out",
                    rel_types: list[str] | None = None,
                    node_cap: int = DEFAULT_NODE_CAP) -> DataFrame:
     """Q4 over the AT-REST adjacency index (write_adjacency_bucketed):
-    the edge table arrives pre-partitioned (bucketed+sorted) by src, so
-    every frontier join exchanges ONLY the tiny frontier side — Catalyst
-    reads the bucketed side's output partitioning and elides its shuffle
-    (asserted by tests/test_graph_queries.py::test_bucketed_k_hop_plan).
-    At 10^12 edges this is the difference between shuffling the edge set
-    once per hop and never.
+    the edge table arrives pre-partitioned (bucketed+sorted) by the
+    traversal key, so every frontier join exchanges ONLY the tiny
+    frontier side — Catalyst reads the bucketed side's output
+    partitioning and elides its shuffle (asserted by
+    tests/test_graph_queries.py::test_bucketed_k_hop_plan). At 10^12
+    edges this is the difference between shuffling the edge set once per
+    hop and never.
 
-    Out-direction only: the bucket key is src (build a second table
-    bucketed by dst for reverse traversal, as the reference keeps two
-    adjacency maps, query.ts:30-60)."""
+    direction='out' expects a table bucketed by src, direction='in' one
+    bucketed by dst (the reference keeps two adjacency maps,
+    query.ts:30-60; at rest that is two bucketed tables). A mismatched
+    pairing is still CORRECT — the bucketed side merely regains an
+    exchange."""
     e = spark.table(table)
     if rel_types:
         e = e.filter(F.col("type").isin(rel_types))
-    adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id"))
+    if direction == "out":
+        adj = e.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id"))
+    elif direction == "in":
+        adj = e.select(F.col("dst").alias("from_id"), F.col("src").alias("to_id"))
+    else:
+        raise ValueError(f"direction must be out or in, got {direction!r}")
     return _k_hop_frontier(adj, start_ids, k, node_cap)
 
 

@@ -138,6 +138,33 @@ def test_bucketed_k_hop_plan(spark, graph):
         shutil.rmtree("spark-warehouse/adj_khop", ignore_errors=True)
 
 
+def test_bucketed_k_hop_inbound(spark, graph):
+    """Reverse traversal over the dst-bucketed twin table (the at-rest
+    analogue of the reference's second adjacency map)."""
+    import shutil
+
+    from gitnexus_spark.operators.graph_queries import (
+        k_hop, k_hop_bucketed, write_adjacency_bucketed)
+
+    _, edges = graph
+    spark.sql("DROP TABLE IF EXISTS adj_khop_in")
+    shutil.rmtree("spark-warehouse/adj_khop_in", ignore_errors=True)
+    write_adjacency_bucketed(edges, "adj_khop_in", buckets=4, key="dst")
+    try:
+        start = spark.createDataFrame([("n5",)], ["id"])
+        got = {r["id"]: r["hop"] for r in
+               k_hop_bucketed(spark, "adj_khop_in", start, 2,
+                              direction="in",
+                              rel_types=["LINKS_TO"]).collect()}
+        want = {r["id"]: r["hop"] for r in
+                k_hop(edges, start, 2, direction="in",
+                      rel_types=["LINKS_TO"]).collect()}
+        assert got == want == {"n5": 0, "n2": 1, "n1": 2}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS adj_khop_in")
+        shutil.rmtree("spark-warehouse/adj_khop_in", ignore_errors=True)
+
+
 def test_sql_views(spark, graph):
     from gitnexus_spark.operators.graph_queries import register_views
 
