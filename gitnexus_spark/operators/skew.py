@@ -20,6 +20,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """F.hash rejects MapType at analysis, at any nesting depth."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def with_salt(df: DataFrame, key_col: str, salts: int,
@@ -30,18 +42,21 @@ def with_salt(df: DataFrame, key_col: str, salts: int,
     table has one): salt = hash(key, id) mod salts — byte-identical
     duplicate rows of a hub key still spread across reducers.
 
-    Without one: salt = hash(ALL columns) mod salts. Deterministic on
-    recomputation, but fully duplicated rows of a hub key collapse onto
-    one reducer — a documented limitation, accepted on purpose: deriving
-    the salt from monotonically_increasing_id (round-2 version) spreads
-    duplicates but is INDETERMINATE under task retry — a re-executed map
-    task after a shuffle-fetch failure can assign different salts than
-    the original attempt, and Spark does not guarantee rolling back the
-    consumer stage for expression-level nondeterminism (SPARK-23207-style
-    duplicate/lost rows). Correctness beats duplicate-spread.
+    Without one: salt = hash(all HASHABLE columns) mod salts —
+    map-typed columns (which F.hash rejects at analysis time, nested
+    included) are skipped from the mix, so salting works on any schema.
+    Deterministic on recomputation, but rows identical on the hashable
+    subset collapse onto one reducer — a documented limitation, accepted
+    on purpose: deriving the salt from monotonically_increasing_id
+    (round-2 version) spreads duplicates but is INDETERMINATE under task
+    retry — a re-executed map task after a shuffle-fetch failure can
+    assign different salts than the original attempt, and Spark does not
+    guarantee rolling back the consumer stage for expression-level
+    nondeterminism (SPARK-23207-style duplicate/lost rows). Correctness
+    beats duplicate-spread; pass id_col to get both.
     """
     mix = [F.col(key_col), F.col(id_col)] if id_col else \
-        [F.col(c) for c in df.columns]
+        [F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)]
     return df.withColumn(
         salt_col, F.pmod(F.hash(*mix), F.lit(salts)).cast("int"))
 

@@ -33,9 +33,12 @@ every pass checkpoint to a snapshot with history.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -51,9 +54,31 @@ def _load_manifest(path: str) -> list[dict]:
         return json.load(f)
 
 
+@contextmanager
+def _manifest_lock(path: str):
+    """Per-table commit mutex (Iceberg's catalog CAS, locally).
+
+    Data files are written OUTSIDE this lock (to a uniquely-named temp
+    dir); only the allocate-id / rename / manifest-append critical
+    section holds it, so concurrent committers to one table serialize
+    for milliseconds, both snapshots land, and history stays linear —
+    no lost commit. flock serializes across processes AND across
+    threads (each holder opens its own file description).
+    """
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(os.path.join(path, MANIFEST + ".lock"),
+                 os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def _commit(path: str, entries: list[dict]) -> None:
     """Atomic manifest replace: a torn write can never half-commit."""
-    tmp = os.path.join(path, MANIFEST + ".tmp")
+    tmp = os.path.join(path, MANIFEST + f".tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(entries, f, indent=1)
     os.replace(tmp, os.path.join(path, MANIFEST))
@@ -73,12 +98,18 @@ def merge_frames(target: DataFrame, source: DataFrame,
     """
     data_cols = [c for c in target.columns if c not in key_cols]
     t = target.alias("t")
-    s = source.select(*target.columns).alias("s")
+    # Presence marker, not a nullable key: the join condition is
+    # null-safe, so a NULL merge key is a legitimate match — inferring
+    # "matched" from key IS NOT NULL would silently keep stale target
+    # data for it. The lit(True) marker survives the full-outer join
+    # exactly when a source row is present.
+    s = (source.select(*target.columns)
+         .withColumn("_s_present", F.lit(True)).alias("s"))
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
     joined = t.join(s, cond, "full_outer")
     picked = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
               for k in key_cols]
-    matched = F.col(f"s.{key_cols[0]}").isNotNull()
+    matched = F.col("s._s_present").isNotNull()
     picked += [F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
                .alias(c) for c in data_cols]
     return joined.select(*picked)
@@ -94,33 +125,49 @@ class SnapshotWriter:
     def write(self, df: DataFrame, path: str,
               partition_by: list[str] | None = None,
               op: str = "overwrite", tag: str | None = None) -> int:
-        manifest = _load_manifest(path)
-        snap_id = (manifest[-1]["snapshot_id"] + 1) if manifest else 1
-        snap_dir = os.path.join(path, f"snap-{snap_id}")
-        obs = Observation(f"snap-{snap_id}")
+        # Data lands in a uniquely-named staging dir with NO lock held —
+        # the expensive executor-parallel parquet write never serializes
+        # committers. Only the id-allocate / rename / manifest-append
+        # runs under the per-table lock (Iceberg's optimistic catalog
+        # commit, minus the retry: the lock makes conflict impossible
+        # instead of detected-and-retried).
+        stage = os.path.join(path, f".snap-stage-{uuid.uuid4().hex[:12]}")
+        obs = Observation(os.path.basename(stage))
         w = df.observe(obs, F.count(F.lit(1)).alias("rows")).write \
             .mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(snap_dir)
-        manifest.append({
-            "snapshot_id": snap_id,
-            "parent_id": manifest[-1]["snapshot_id"] if manifest else None,
-            "ts": round(time.time(), 3),
-            "op": op,
-            "rows": obs.get["rows"],
-            "dir": f"snap-{snap_id}",
-            "tags": [tag] if tag else [],
-            "partition_by": partition_by or [],
-        })
-        _commit(path, manifest)
+        w.parquet(stage)
+        with _manifest_lock(path):
+            manifest = _load_manifest(path)
+            snap_id = (manifest[-1]["snapshot_id"] + 1) if manifest else 1
+            os.replace(stage, os.path.join(path, f"snap-{snap_id}"))
+            manifest.append({
+                "snapshot_id": snap_id,
+                "parent_id": (manifest[-1]["snapshot_id"]
+                              if manifest else None),
+                "ts": round(time.time(), 3),
+                "op": op,
+                "rows": obs.get["rows"],
+                "dir": f"snap-{snap_id}",
+                "tags": [tag] if tag else [],
+                "partition_by": partition_by or [],
+            })
+            _commit(path, manifest)
         return snap_id
 
     def merge_into(self, path: str, source: DataFrame,
                    key_cols: list[str], tag: str | None = None) -> int:
         """Incremental re-ingest (the trie.ts:228-254 analogue): upsert
         `source` into the table's current snapshot, commit as a new one.
-        Copy-on-write: readers of the previous snapshot are unaffected."""
+        Copy-on-write: readers of the previous snapshot are unaffected.
+
+        Concurrency: commits never get lost (per-table commit lock),
+        but read-compute-commit is read-committed, not serializable —
+        two simultaneous merges each base on the snapshot current at
+        their read. Serializable upserts should be routed through one
+        committer per table (the streaming re-ingest sink already is).
+        """
         merged = merge_frames(self.read(path), source, key_cols)
         part = _load_manifest(path)[-1].get("partition_by") or None
         return self.write(merged, path, partition_by=part, op="merge",
@@ -146,13 +193,14 @@ class SnapshotWriter:
                           partition_by=part, op="replace", tag=tag)
 
     def tag(self, path: str, snapshot_id: int, name: str) -> None:
-        manifest = _load_manifest(path)
-        for e in manifest:
-            if e["snapshot_id"] == snapshot_id:
-                if name not in e["tags"]:
-                    e["tags"].append(name)
-                _commit(path, manifest)
-                return
+        with _manifest_lock(path):
+            manifest = _load_manifest(path)
+            for e in manifest:
+                if e["snapshot_id"] == snapshot_id:
+                    if name not in e["tags"]:
+                        e["tags"].append(name)
+                    _commit(path, manifest)
+                    return
         raise KeyError(f"no snapshot {snapshot_id} in {path}")
 
     def expire_snapshots(self, path: str, keep_last: int = 2) -> list[int]:
@@ -160,15 +208,17 @@ class SnapshotWriter:
         history record). Tagged snapshots are pinned, like Iceberg refs."""
         import shutil
 
-        manifest = _load_manifest(path)
-        expired = []
-        for e in manifest[:-keep_last] if keep_last else manifest:
-            if e["tags"] or e.get("expired"):
-                continue
-            shutil.rmtree(os.path.join(path, e["dir"]), ignore_errors=True)
-            e["expired"] = True
-            expired.append(e["snapshot_id"])
-        _commit(path, manifest)
+        with _manifest_lock(path):
+            manifest = _load_manifest(path)
+            expired = []
+            for e in manifest[:-keep_last] if keep_last else manifest:
+                if e["tags"] or e.get("expired"):
+                    continue
+                shutil.rmtree(os.path.join(path, e["dir"]),
+                              ignore_errors=True)
+                e["expired"] = True
+                expired.append(e["snapshot_id"])
+            _commit(path, manifest)
         return expired
 
     # -- read path ----------------------------------------------------------

@@ -56,3 +56,19 @@ def test_salt_is_deterministic(skewed):
     # hub key actually spreads across salts
     hub_salts = {s for k, _, s in a if k == "hub"}
     assert len(hub_salts) > 1
+
+
+def test_salt_fallback_skips_map_columns(spark):
+    """r3 ADVICE: F.hash rejects MapType at analysis, so the no-id_col
+    fallback must exclude map columns (nested too) from the salt mix
+    instead of erroring out on any schema that carries one."""
+    from gitnexus_spark.operators.skew import salted_agg, with_salt
+
+    df = spark.createDataFrame(
+        [("hub", i, {"k": str(i)}) for i in range(40)],
+        "key string, seq long, attrs map<string,string>")
+    salted = with_salt(df, "key", 8).collect()
+    assert len(salted) == 40
+    assert len({r["_salt"] for r in salted}) > 1  # still spreads the hub
+    agg = salted_agg(df, ["key"], {"seq": "sum"}, salts=8).collect()
+    assert agg[0]["sum_seq"] == sum(range(40))

@@ -80,6 +80,64 @@ def test_expire_keeps_tags_and_latest(spark, writer, tmp_path):
         writer.read(t, snapshot_id=1)              # expired id unreadable
 
 
+def test_merge_null_key_row_updates_and_inserts(spark, writer, tmp_path):
+    """NULL merge keys are real matches under eqNullSafe: a NULL-key
+    source row must UPDATE the NULL-key target row (not silently keep
+    stale target data), and a fresh NULL-key insert must carry its data
+    columns."""
+    t = str(tmp_path / "tbl")
+    writer.write(_df(spark, [(None, "en", 10), (2, "de", 20)]), t)
+    writer.merge_into(t, _df(spark, [(None, "fr", 99)]),
+                      key_cols=["doc_id"])
+    got = {r["doc_id"]: (r["lang"], r["n"]) for r in writer.read(t).collect()}
+    assert got == {None: ("fr", 99), 2: ("de", 20)}
+
+    # and a NULL-key insert into a table with no NULL-key row yet
+    t2 = str(tmp_path / "tbl2")
+    writer.write(_df(spark, [(1, "en", 1)]), t2)
+    writer.merge_into(t2, _df(spark, [(None, "it", 7)]),
+                      key_cols=["doc_id"])
+    got2 = {r["doc_id"]: (r["lang"], r["n"])
+            for r in writer.read(t2).collect()}
+    assert got2 == {1: ("en", 1), None: ("it", 7)}
+
+
+def test_concurrent_commits_no_lost_snapshot(spark, writer, tmp_path):
+    """Two writers committing to the SAME table concurrently: both
+    snapshots land, ids are unique, parent chain is linear — the
+    read-modify-write commit can no longer silently drop one."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    writer.write(_df(spark, [(0, "en", 0)]), t)
+
+    errs = []
+
+    def commit(k):
+        try:
+            writer.write(_df(spark, [(k, "en", k)]), t, op=f"w{k}")
+        except Exception as e:                         # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=commit, args=(k,))
+               for k in range(1, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    hist = writer.history(t)
+    ids = [e["snapshot_id"] for e in hist]
+    assert ids == [1, 2, 3, 4, 5]                      # nothing lost
+    assert [e["parent_id"] for e in hist] == [None, 1, 2, 3, 4]
+    ops = {e["op"] for e in hist}
+    assert {"w1", "w2", "w3", "w4"} <= ops
+    # every committed dir is readable and no staging dirs leak
+    for e in hist:
+        assert writer.read(t, snapshot_id=e["snapshot_id"]).count() == 1
+    assert not [d for d in os.listdir(t) if d.startswith(".snap-stage-")]
+
+
 def test_pipeline_with_snapshot_writer(spark, sf_dir, tmp_path):
     """Every pass checkpoint becomes snapshot history; a re-run resumes
     from the committed snapshots (same contract as the parquet seam)."""
