@@ -23,10 +23,12 @@ nondeterministic under parallelism); we impose a total order
 (score DESC, url-distance ASC, canonical name ASC) in the top-1 window.
 
 Scale shape: everything name-keyed (alias, global exact, fuzzy) runs on
-the DISTINCT-NAME dimension (vocabulary-scale) and broadcasts back onto
-the fact table; the only doc-granular signal (same-doc match) rides on
-the rows themselves as a boolean set during extraction. No fact-table
-shuffle anywhere in linking.
+the DISTINCT-NAME dimension (vocabulary-scale) and joins back onto the
+fact table — broadcast when the MEASURED vocabulary size fits the gate
+(plans.hints, VERDICT r03 #1), name-keyed shuffle join when it doesn't;
+the only doc-granular signal (same-doc match) rides on the rows
+themselves as a boolean set during extraction. In the broadcast regime
+there is no fact-table shuffle anywhere in linking.
 
 Skew: head entities make both the gram-blocking join and the exact-name
 join skewed. Mitigations: (a) grams with document frequency above
@@ -214,16 +216,20 @@ def site_fuzzy_map(
     call-processor.ts:305-323 / trie.ts:182-208).
 
     pairs: (locality, name) distinct call sites of unresolved names;
-    candidates: fuzzy_candidates_all() output (vocabulary-scale —
-    broadcast). Ranking: jaccard DESC, url_distance(locality, cand_doc)
-    ASC, cand ASC. Returns (locality, name, c_fuzzy, fuzzy_score) — one
-    row per input pair that has at least one candidate. The top-1 window
+    candidates: fuzzy_candidates_all() output (vocabulary-scale). The
+    join is deliberately UNHINTED here: the size-aware caller decides —
+    KGPipeline wraps candidates in a gated broadcast when the observed
+    vocabulary fits (plans.hints), and AQE picks for everyone else; a
+    forced hint at 1e8+ unresolved names would be an OOM (VERDICT r03
+    #1). Ranking: jaccard DESC, url_distance(locality, cand_doc) ASC,
+    cand ASC. Returns (locality, name, c_fuzzy, fuzzy_score) — one row
+    per input pair that has at least one candidate. The top-1 window
     partitions on (locality, name), the pair key itself — evenly
     distributed, no hot reducer.
     """
     p = pairs.select(locality_col, "name").dropDuplicates([locality_col, "name"])
     j = (
-        p.join(F.broadcast(candidates), "name")
+        p.join(candidates, "name")
         .withColumn("url_dist",
                     url_distance_expr(F.col(locality_col), F.col("cand_doc")))
     )
@@ -346,11 +352,22 @@ def link_mentions(
 
     nmap = name_resolution_map(m.select("name"), registry, alias_dict,
                                fuzzy_threshold, max_gram_df, ngram)
+    # Size-gate the map join (VERDICT r03 #1): materialize the
+    # vocabulary-scale map once (it feeds the fact join anyway — the
+    # checkpoint trades one small write for not recomputing the fuzzy
+    # chain), then broadcast ONLY if the measured count fits; an
+    # oversized vocabulary joins co-keyed on name instead of OOMing the
+    # executors with a forced build side.
+    from ..plans.hints import EST_ROW_BYTES, BROADCAST_MAX_BYTES, \
+        broadcast_if_small
+    nmap = nmap.localCheckpoint()
+    nmap = broadcast_if_small(nmap, nmap.count() * EST_ROW_BYTES,
+                              BROADCAST_MAX_BYTES)
     canonical, stage, confidence = stage_columns(
         F.col("c_alias"), F.col("_samedoc"), F.col("c_exact"),
         F.col("c_fuzzy"), F.col("name"))
     return (
-        m.join(F.broadcast(nmap), "name", "left")
+        m.join(nmap, "name", "left")
         .select(
             "doc_url", "name", "role",
             canonical.alias("canonical_name"),

@@ -44,6 +44,7 @@ from ..operators.linking import (entity_registry, fuzzy_candidates_all,
                                  name_resolution_map, site_fuzzy_map,
                                  stage_columns)
 from ..operators.structure import structure_graph
+from .hints import EST_ROW_BYTES, BROADCAST_MAX_BYTES, broadcast_if_small, dir_bytes
 
 
 def _table(out_dir: str, name: str) -> str:
@@ -89,12 +90,15 @@ class KGPipeline:
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  alias_dict: DataFrame | None = None,
-                 writer: ParquetWriter | None = None) -> None:
+                 writer: ParquetWriter | None = None,
+                 broadcast_max_bytes: int = BROADCAST_MAX_BYTES) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.alias_dict = alias_dict
         self.writer = writer or ParquetWriter(spark)
+        self.broadcast_max_bytes = broadcast_max_bytes
         self._lineage_rows: list[tuple] = []
+        self._rows: dict[str, int] = {}  # observed count per committed pass
 
     # -- lineage ------------------------------------------------------------
     def _write(self, df: DataFrame, name: str,
@@ -106,15 +110,36 @@ class KGPipeline:
         self.writer.write(df.observe(obs, F.count(F.lit(1)).alias("rows")),
                           path, partition_by)
         rows = int(obs.get.get("rows", -1))
+        self._rows[name] = rows
         self._lineage_rows.append((name, path, rows, round(time.time() - t0, 3)))
         return self.writer.read(path)
 
     def _load_or(self, name: str, builder, partition_by=None) -> DataFrame:
         path = _table(self.out_dir, name)
         if self.writer.exists(path):  # resume: pass already committed
+            self._rows.setdefault(name, -1)
             self._lineage_rows.append((name, path, -1, 0.0))
             return self.writer.read(path)
         return self._write(builder(), name, partition_by)
+
+    def _dim_hint(self, df: DataFrame, *dims: str,
+                  row_factor: int = 1) -> DataFrame:
+        """Broadcast a dimension-derived frame only when the OBSERVED
+        sizes of the committed tables it derives from say it fits
+        (VERDICT r03 #1 — the vocabulary is a measurement, not an
+        assumption). Unknown counts (resume) fall back to the committed
+        parquet footprint; over the gate the join is left unhinted and
+        Catalyst/AQE plans a name-keyed shuffle join instead.
+        row_factor: multiplier when df fans out per dimension row (e.g.
+        the capped fuzzy-candidate lists)."""
+        est = 0
+        for name in dims:
+            rows = self._rows.get(name, -1)
+            if rows >= 0:
+                est += rows * EST_ROW_BYTES * row_factor
+            else:
+                est += dir_bytes(_table(self.out_dir, name)) * row_factor
+        return broadcast_if_small(df, est, self.broadcast_max_bytes)
 
     def lineage(self) -> DataFrame:
         return self.spark.createDataFrame(
@@ -207,10 +232,13 @@ class KGPipeline:
                 raw_triples.select("doc_url", F.col("subj").alias("name"))
                 .unionByName(
                     raw_triples.select("doc_url", F.col("obj").alias("name")))
-                .join(F.broadcast(unresolved), "name", "left_semi")
+                .join(self._dim_hint(unresolved, "name_links"),
+                      "name", "left_semi")
                 .dropDuplicates(["doc_url", "name"])
             )
-            return site_fuzzy_map(sites, cands)
+            # candidate lists are capped at 8 per unresolved name
+            return site_fuzzy_map(
+                sites, self._dim_hint(cands, "name_links", row_factor=8))
         fuzzy_site = self._load_or("fuzzy_site_links", p3_fuzzy_site)
 
         # 3b: coreference merge over the entity dimension (CC union-find).
@@ -251,9 +279,10 @@ class KGPipeline:
         # itself), so self_cc covers them; the per-site fuzzy winner can be
         # OUTSIDE the raw name's component — its cc rides on the fuzzy_site
         # rows (attached on the candidate dimension, not the fact table).
-        # Name maps are vocabulary-sized -> broadcast joins; the site map
-        # is keyed (doc_url, name) like the fact table and joins without a
-        # forced broadcast (AQE picks; at scale both sides are co-keyed).
+        # Name maps broadcast ONLY when their observed size fits the gate
+        # (_dim_hint; unhinted name-keyed shuffle join otherwise); the
+        # site map is keyed (doc_url, name) like the fact table and joins
+        # without a forced broadcast (AQE picks; at scale both co-keyed).
         def p3_resolved():
             smap = name_map.join(canon, "name", "left").select(
                 "name", "c_alias", "c_exact",
@@ -278,8 +307,10 @@ class KGPipeline:
                              F.col("c_fuzzy").alias("o_c_fuzzy"),
                              F.col("fuzzy_cc").alias("o_fuzzy_cc"))
             t = (raw_triples
-                 .join(F.broadcast(smap_s), "subj", "left")
-                 .join(F.broadcast(smap_o), "obj", "left")
+                 .join(self._dim_hint(smap_s, "name_links", "canonical_map"),
+                       "subj", "left")
+                 .join(self._dim_hint(smap_o, "name_links", "canonical_map"),
+                       "obj", "left")
                  .join(fz_s, ["doc_url", "subj"], "left")
                  .join(fz_o, ["doc_url", "obj"], "left"))
             s_samedoc = F.coalesce("subj_samedoc", F.lit(False))
@@ -323,7 +354,8 @@ class KGPipeline:
         # i.e. isolated-node integrity failures.
         def p4_nodes():
             men_canon = (
-                registry.select("name").join(F.broadcast(canon), "name", "left")
+                registry.select("name")
+                .join(self._dim_hint(canon, "canonical_map"), "name", "left")
                 .select(F.coalesce("canonical", "name").alias("canonical"))
             )
             ok = resolved.filter(F.col("subj_stage") != "failed") \
@@ -362,7 +394,8 @@ class KGPipeline:
             )
             # MENTIONS: page -> canonical entity (DEFINES analogue)
             men = (
-                mentions.join(F.broadcast(canon), "name", "left")
+                mentions.join(self._dim_hint(canon, "canonical_map"),
+                              "name", "left")
                 .join(page_ids, "url")
                 .select(F.lit("MENTIONS").alias("type"),
                         F.col("page_id").alias("src"),
