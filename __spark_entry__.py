@@ -374,6 +374,32 @@ def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hops.join(pages_dim, "id").select("doc_id", "hop")
 
 
+def q_kg_two_hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 over the AT-REST bucketed adjacency index (VERDICT r03
+    next-round #7): the edges table is persisted bucketed+sorted by src
+    (write_adjacency_bucketed) and traversed with k_hop_bucketed, whose
+    frontier joins exchange only the frontier side (plan asserted in
+    tests/test_graph_queries.py). Same start/semantics as kg_two_hop, so
+    the same two-hop SQL oracle checks the at-rest read path."""
+    from gitnexus_spark.functions.ids import node_id
+    from gitnexus_spark.operators.graph_queries import (
+        k_hop_bucketed, write_adjacency_bucketed)
+
+    out = _run_full_pipeline(spark, sf_dir)
+    table = "kg_entry_adj_out"
+    write_adjacency_bucketed(
+        out["edges"].filter(F.col("type") == "LINKS_TO"), table, buckets=8)
+    start = (
+        synth_pages_urls(spark, sf_dir).filter(F.col("doc_id") == 0)
+        .select(node_id("Page", F.col("url")).alias("id"))
+    )
+    hops = k_hop_bucketed(spark, table, start, 2, rel_types=["LINKS_TO"],
+                          node_cap=1_000_000)
+    pages_dim = synth_pages_urls(spark, sf_dir).select(
+        node_id("Page", F.col("url")).alias("id"), "doc_id")
+    return hops.join(pages_dim, "id").select("doc_id", "hop")
+
+
 def synth_pages_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -1184,6 +1210,26 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=10)
 
 
+def q_similarity_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-REST IVF read path under the driver gate (VERDICT r03
+    next-round #7): write_ivf_index persists leaders + cell-partitioned
+    assignments, then ivf_topk_at_rest probes with a static partition
+    filter (plan pruning asserted in tests/test_similarity.py). Same
+    scaled defaults as similarity_ann_ivf, so the SAME SQL oracle checks
+    both the in-memory and the at-rest plans value-for-value."""
+    import tempfile
+
+    from gitnexus_spark.operators.similarity import (ivf_topk_at_rest,
+                                                     write_ivf_index)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("q_id"),
+                                        F.col("embedding").alias("q_vec"))
+    idx = tempfile.mkdtemp(prefix="ivf_entry_")
+    write_ivf_index(emb, idx)
+    return ivf_topk_at_rest(spark, idx, q, k=10)
+
+
 def _sql_cos(a: str, b: str) -> str:
     """DuckDB cosine with the same left-to-right fold as the Spark side."""
     dot = (f"list_sum(list_transform(generate_series(1, len({a})),"
@@ -1534,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_counts": q_kg_edge_counts,
         "kg_top_entities": q_kg_top_entities,
         "kg_two_hop": q_kg_two_hop,
+        "kg_two_hop_bucketed": q_kg_two_hop_bucketed,
         "kg_paths_between": q_kg_paths_between,
         "kg_var_length_paths": q_kg_var_length_paths,
         "kg_node_degree": q_kg_node_degree,
@@ -1571,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ivf_at_rest": q_similarity_ivf_at_rest,
         "snapshot_merge": q_snapshot_merge,
     }
 
@@ -1588,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_counts": SQL_KG_EDGE_COUNTS,
         "kg_top_entities": SQL_KG_TOP_ENTITIES,
         "kg_two_hop": SQL_KG_TWO_HOP,
+        "kg_two_hop_bucketed": SQL_KG_TWO_HOP,
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,
         "kg_var_length_paths": SQL_KG_VAR_PATHS,
         "kg_node_degree": SQL_KG_NODE_DEGREE,
@@ -1625,5 +1674,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann_ivf": _sql_ann_ivf(),
+        "similarity_ivf_at_rest": _sql_ann_ivf(),
         "snapshot_merge": SQL_SNAPSHOT_MERGE,
     }

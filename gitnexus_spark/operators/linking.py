@@ -243,6 +243,40 @@ def site_fuzzy_map(
     )
 
 
+def exact_resolution_map(
+    names: DataFrame,
+    registry: DataFrame,
+    alias_dict: DataFrame | None = None,
+) -> DataFrame:
+    """Stages 1+2b only: (name, c_alias, c_exact), checkpointed (it
+    anchors both the fuzzy probe set and the final map)."""
+    n = names.select("name").dropDuplicates(["name"])
+    if alias_dict is not None:
+        ad = alias_dict.select(F.col("alias").alias("_alias"),
+                               F.col("canonical_name").alias("c_alias"))
+        m = n.join(F.broadcast(ad), n.name == F.col("_alias"), "left") \
+             .select("name", "c_alias")
+    else:
+        m = n.select("name", F.lit(None).cast("string").alias("c_alias"))
+
+    reg_names = registry.select(F.col("name").alias("c_exact")) \
+                        .dropDuplicates(["c_exact"])
+    return m.join(reg_names, m.name == F.col("c_exact"), "left") \
+            .select("name", "c_alias", "c_exact").localCheckpoint()
+
+
+def fuzzy_top1(candidates: DataFrame) -> DataFrame:
+    """Global (locality-free) fuzzy winner per name from a candidate
+    table: (name, c_fuzzy, fuzzy_score). Order matches
+    fuzzy_candidates_all's cap (jaccard DESC, cand ASC), so top-1 of the
+    capped list IS the global top-1."""
+    w = Window.partitionBy("name").orderBy(F.desc("jaccard"), F.asc("cand"))
+    return (candidates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("name", F.col("cand").alias("c_fuzzy"),
+                    F.col("jaccard").alias("fuzzy_score")))
+
+
 def name_resolution_map(
     names: DataFrame,
     registry: DataFrame,
@@ -258,28 +292,22 @@ def name_resolution_map(
     any fact table. Fuzzy is only attempted for names missing BOTH exact
     stages (the reference's stage ordering), and skipped entirely when
     nothing is left (isEmpty short-circuit: an empty fuzzy plan still
-    costs several fixed shuffle rounds).
+    costs several fixed shuffle rounds). KGPipeline uses the split
+    pieces directly (exact_resolution_map + a committed
+    fuzzy_candidates_all table + fuzzy_top1) so the expensive
+    gram-blocking join runs ONCE per run and feeds both the global
+    winner and the per-site re-rank; this composed form is the
+    standalone-API path and matches it stage-for-stage.
     """
-    n = names.select("name").dropDuplicates(["name"])
-    if alias_dict is not None:
-        ad = alias_dict.select(F.col("alias").alias("_alias"),
-                               F.col("canonical_name").alias("c_alias"))
-        m = n.join(F.broadcast(ad), n.name == F.col("_alias"), "left") \
-             .select("name", "c_alias")
-    else:
-        m = n.select("name", F.lit(None).cast("string").alias("c_alias"))
-
-    reg_names = registry.select(F.col("name").alias("c_exact")) \
-                        .dropDuplicates(["c_exact"])
-    m = m.join(reg_names, m.name == F.col("c_exact"), "left") \
-         .select("name", "c_alias", "c_exact").localCheckpoint()
-
+    m = exact_resolution_map(names, registry, alias_dict)
     still = m.filter(F.col("c_alias").isNull() & F.col("c_exact").isNull()) \
              .select("name")
     if still.isEmpty():
         return m.withColumn("c_fuzzy", F.lit(None).cast("string"))
 
-    best = fuzzy_candidates(still, registry, fuzzy_threshold, max_gram_df, ngram)
+    best = fuzzy_top1(fuzzy_candidates_all(
+        still, registry, fuzzy_threshold, max_gram_df, ngram,
+        top_per_name=1))
     return m.join(best.select("name", "c_fuzzy"), "name", "left")
 
 

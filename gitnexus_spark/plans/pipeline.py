@@ -40,15 +40,139 @@ from pyspark.sql import functions as F
 from ..functions.ids import edge_id, node_id
 from ..operators import extract as ex
 from ..operators.components import canonical_entities
-from ..operators.linking import (entity_registry, fuzzy_candidates_all,
-                                 name_resolution_map, site_fuzzy_map,
-                                 stage_columns)
+from ..operators.linking import (entity_registry, exact_resolution_map,
+                                 fuzzy_candidates_all, fuzzy_top1,
+                                 site_fuzzy_map, stage_columns)
 from ..operators.structure import structure_graph
 from .hints import EST_ROW_BYTES, BROADCAST_MAX_BYTES, broadcast_if_small, dir_bytes
 
 
 def _table(out_dir: str, name: str) -> str:
     return os.path.join(out_dir, name)
+
+
+EMPTY_CANDS_DDL = ("name string, cand string, cand_doc string,"
+                   " jaccard double")
+EMPTY_SITE_DDL = ("doc_url string, name string, c_fuzzy string,"
+                  " fuzzy_score double")
+
+
+def build_fuzzy_candidates(spark: SparkSession, name_map_exact: DataFrame,
+                           registry: DataFrame) -> DataFrame:
+    """The ONE gram-blocking join of a run: all capped fuzzy candidates
+    for names both exact stages missed. Committed as its own table so
+    (a) the global top-1 (name_links.c_fuzzy) and the per-site re-rank
+    both derive from it without re-blocking, and (b) the incremental
+    refresh can delta-maintain it when registry rows change."""
+    unresolved = name_map_exact.filter(
+        F.col("c_alias").isNull() & F.col("c_exact").isNull()
+    ).select("name")
+    if unresolved.isEmpty():
+        return spark.createDataFrame([], EMPTY_CANDS_DDL)
+    return fuzzy_candidates_all(unresolved, registry)
+
+
+def build_fuzzy_site(spark: SparkSession, raw_triples: DataFrame,
+                     name_map: DataFrame, cands: DataFrame,
+                     dim_hint=None) -> DataFrame:
+    """Pass 3a': per-call-site fuzzy resolution (reference scores fuzzy
+    candidates PER CALL SITE with import distance,
+    call-processor.ts:305-323). The gram-blocking join already ran
+    (build_fuzzy_candidates); only the small per-name candidate lists
+    are re-ranked against each site's URL locality. Sites = distinct
+    (doc_url, endpoint) pairs restricted to names both exact stages
+    missed. dim_hint(df, row_factor) applies the size-gated broadcast
+    decision (identity when absent)."""
+    h = dim_hint or (lambda df, row_factor=1: df)
+    unresolved = name_map.filter(
+        F.col("c_alias").isNull() & F.col("c_exact").isNull()
+    ).select("name")
+    if unresolved.isEmpty():
+        return spark.createDataFrame([], EMPTY_SITE_DDL)
+    sites = (
+        raw_triples.select("doc_url", F.col("subj").alias("name"))
+        .unionByName(
+            raw_triples.select("doc_url", F.col("obj").alias("name")))
+        .join(h(unresolved), "name", "left_semi")
+        .dropDuplicates(["doc_url", "name"])
+    )
+    # candidate lists are capped at 8 per unresolved name
+    return site_fuzzy_map(sites, h(cands, row_factor=8))
+
+
+def resolve_triples(raw_triples: DataFrame, name_map: DataFrame,
+                    canon: DataFrame, fuzzy_site: DataFrame,
+                    dim_hint=None) -> DataFrame:
+    """Pass 3c: resolve triple endpoints. Stage precedence (alias >
+    same_doc > name_exact > fuzzy > failed) mirrors the reference; the
+    final canonical applies the CC merge on top of the STAGE-RESOLVED
+    name. For alias/same_doc/exact stages cc(resolved) == cc(raw name)
+    (alias edges are CC inputs; exact/same_doc resolve to the name
+    itself), so self_cc covers them; the per-site fuzzy winner can be
+    OUTSIDE the raw name's component — its cc rides on the fuzzy_site
+    rows (attached on the candidate dimension, not the fact table).
+    Name maps broadcast only when dim_hint's size gate says so; the site
+    map is keyed (doc_url, name) like the fact table and joins without a
+    forced broadcast (AQE picks; at scale both sides are co-keyed).
+    Shared by KGPipeline.run and the incremental refresh path — one
+    implementation, no drift."""
+    h = dim_hint or (lambda df: df)
+    smap = name_map.join(canon, "name", "left").select(
+        "name", "c_alias", "c_exact",
+        F.coalesce("canonical", "name").alias("self_cc"))
+    fz = fuzzy_site.join(
+        canon.withColumnRenamed("name", "c_fuzzy")
+             .withColumnRenamed("canonical", "fuzzy_cc"),
+        "c_fuzzy", "left"
+    ).select("doc_url", "name", "c_fuzzy",
+             F.coalesce("fuzzy_cc", "c_fuzzy").alias("fuzzy_cc"))
+
+    smap_s = smap.select(F.col("name").alias("subj"),
+                         *[F.col(c).alias(f"s_{c}") for c in
+                           ["c_alias", "c_exact", "self_cc"]])
+    smap_o = smap.select(F.col("name").alias("obj"),
+                         *[F.col(c).alias(f"o_{c}") for c in
+                           ["c_alias", "c_exact", "self_cc"]])
+    fz_s = fz.select("doc_url", F.col("name").alias("subj"),
+                     F.col("c_fuzzy").alias("s_c_fuzzy"),
+                     F.col("fuzzy_cc").alias("s_fuzzy_cc"))
+    fz_o = fz.select("doc_url", F.col("name").alias("obj"),
+                     F.col("c_fuzzy").alias("o_c_fuzzy"),
+                     F.col("fuzzy_cc").alias("o_fuzzy_cc"))
+    t = (raw_triples
+         .join(h(smap_s), "subj", "left")
+         .join(h(smap_o), "obj", "left")
+         .join(fz_s, ["doc_url", "subj"], "left")
+         .join(fz_o, ["doc_url", "obj"], "left"))
+    s_samedoc = F.coalesce("subj_samedoc", F.lit(False))
+    o_samedoc = F.coalesce("obj_samedoc", F.lit(False))
+    _, s_stage, s_conf = stage_columns(
+        F.col("s_c_alias"), s_samedoc,
+        F.col("s_c_exact"), F.col("s_c_fuzzy"), F.col("subj"))
+    _, o_stage, o_conf = stage_columns(
+        F.col("o_c_alias"), o_samedoc,
+        F.col("o_c_exact"), F.col("o_c_fuzzy"), F.col("obj"))
+    s_final = (
+        F.when(F.col("s_c_alias").isNotNull() | s_samedoc
+               | F.col("s_c_exact").isNotNull(), F.col("s_self_cc"))
+        .when(F.col("s_c_fuzzy").isNotNull(), F.col("s_fuzzy_cc"))
+        .otherwise(F.col("subj"))
+    )
+    o_final = (
+        F.when(F.col("o_c_alias").isNotNull() | o_samedoc
+               | F.col("o_c_exact").isNotNull(), F.col("o_self_cc"))
+        .when(F.col("o_c_fuzzy").isNotNull(), F.col("o_fuzzy_cc"))
+        .otherwise(F.col("obj"))
+    )
+    return t.select(
+        "doc_url", "pred",
+        s_final.alias("subj"),
+        o_final.alias("obj"),
+        s_stage.alias("subj_stage"),
+        o_stage.alias("obj_stage"),
+        (F.coalesce(s_conf, F.lit(0.0)) * F.coalesce(o_conf, F.lit(0.0)))
+            .alias("confidence"),
+    )
 
 
 def _done(path: str) -> bool:
@@ -202,46 +326,43 @@ class KGPipeline:
         registry = self._load_or("entities", p3_registry)
 
         # 3a: the name-keyed resolution map (alias / global-exact / fuzzy)
-        # over DISTINCT endpoint surface forms — vocabulary-scale, broadcast
-        # back onto the triples fact table. The doc-granular same-doc signal
-        # needs no join at all: it rides on the triple rows as booleans set
-        # during extraction.
+        # over DISTINCT endpoint surface forms — vocabulary-scale, joined
+        # back onto the triples fact table. The doc-granular same-doc
+        # signal needs no join at all: it rides on the triple rows as
+        # booleans set during extraction. The exact map is built lazily
+        # ONCE and shared by the candidates and name_links builders (on
+        # resume neither builder fires, so it is never computed).
+        _m: list[DataFrame] = []
+
+        def exact_map() -> DataFrame:
+            if not _m:
+                names = (
+                    raw_triples.select(F.col("subj").alias("name"))
+                    .unionByName(
+                        raw_triples.select(F.col("obj").alias("name")))
+                    .dropDuplicates(["name"])
+                )
+                _m.append(exact_resolution_map(names, registry,
+                                               self.alias_dict))
+            return _m[0]
+
+        def p3_cands():
+            return build_fuzzy_candidates(self.spark, exact_map(), registry)
+        cands = self._load_or("fuzzy_candidates", p3_cands)
+
         def p3_name_map():
-            names = (
-                raw_triples.select(F.col("subj").alias("name"))
-                .unionByName(raw_triples.select(F.col("obj").alias("name")))
-                .dropDuplicates(["name"])
-            )
-            return name_resolution_map(names, registry, self.alias_dict)
+            top1 = fuzzy_top1(cands).select("name", "c_fuzzy")
+            return exact_map().join(top1, "name", "left")
         name_map = self._load_or("name_links", p3_name_map)
 
-        # 3a': per-call-site fuzzy resolution (VERDICT r02 #2 — the
-        # reference scores fuzzy candidates PER CALL SITE with import
-        # distance, call-processor.ts:305-323). The gram-blocking join
-        # stays on the vocabulary dimension (fuzzy_candidates_all); only
-        # the small per-name candidate lists are re-ranked against each
-        # site's URL locality. Sites = distinct (doc_url, endpoint) pairs
-        # restricted to names both exact stages missed.
+        # 3a': per-call-site fuzzy resolution (VERDICT r02 #2) — shared
+        # implementation in build_fuzzy_site, re-ranking the committed
+        # candidate lists (no second gram-blocking join).
         def p3_fuzzy_site():
-            unresolved = name_map.filter(
-                F.col("c_alias").isNull() & F.col("c_exact").isNull()
-            ).select("name")
-            if unresolved.isEmpty():
-                return self.spark.createDataFrame(
-                    [], "doc_url string, name string, c_fuzzy string,"
-                        " fuzzy_score double")
-            cands = fuzzy_candidates_all(unresolved, registry)
-            sites = (
-                raw_triples.select("doc_url", F.col("subj").alias("name"))
-                .unionByName(
-                    raw_triples.select("doc_url", F.col("obj").alias("name")))
-                .join(self._dim_hint(unresolved, "name_links"),
-                      "name", "left_semi")
-                .dropDuplicates(["doc_url", "name"])
-            )
-            # candidate lists are capped at 8 per unresolved name
-            return site_fuzzy_map(
-                sites, self._dim_hint(cands, "name_links", row_factor=8))
+            return build_fuzzy_site(
+                self.spark, raw_triples, name_map, cands,
+                dim_hint=lambda df, row_factor=1: self._dim_hint(
+                    df, "name_links", row_factor=row_factor))
         # fuzzy_site and canonical_map both depend only on name_map (+
         # registry): build and commit them CONCURRENTLY (r03 next-round
         # #1 — they were two of the three sequential pass-3 commits).
@@ -291,64 +412,10 @@ class KGPipeline:
         # site map is keyed (doc_url, name) like the fact table and joins
         # without a forced broadcast (AQE picks; at scale both co-keyed).
         def p3_resolved():
-            smap = name_map.join(canon, "name", "left").select(
-                "name", "c_alias", "c_exact",
-                F.coalesce("canonical", "name").alias("self_cc"))
-            fz = fuzzy_site.join(
-                canon.withColumnRenamed("name", "c_fuzzy")
-                     .withColumnRenamed("canonical", "fuzzy_cc"),
-                "c_fuzzy", "left"
-            ).select("doc_url", "name", "c_fuzzy",
-                     F.coalesce("fuzzy_cc", "c_fuzzy").alias("fuzzy_cc"))
-
-            smap_s = smap.select(F.col("name").alias("subj"),
-                                 *[F.col(c).alias(f"s_{c}") for c in
-                                   ["c_alias", "c_exact", "self_cc"]])
-            smap_o = smap.select(F.col("name").alias("obj"),
-                                 *[F.col(c).alias(f"o_{c}") for c in
-                                   ["c_alias", "c_exact", "self_cc"]])
-            fz_s = fz.select("doc_url", F.col("name").alias("subj"),
-                             F.col("c_fuzzy").alias("s_c_fuzzy"),
-                             F.col("fuzzy_cc").alias("s_fuzzy_cc"))
-            fz_o = fz.select("doc_url", F.col("name").alias("obj"),
-                             F.col("c_fuzzy").alias("o_c_fuzzy"),
-                             F.col("fuzzy_cc").alias("o_fuzzy_cc"))
-            t = (raw_triples
-                 .join(self._dim_hint(smap_s, "name_links", "canonical_map"),
-                       "subj", "left")
-                 .join(self._dim_hint(smap_o, "name_links", "canonical_map"),
-                       "obj", "left")
-                 .join(fz_s, ["doc_url", "subj"], "left")
-                 .join(fz_o, ["doc_url", "obj"], "left"))
-            s_samedoc = F.coalesce("subj_samedoc", F.lit(False))
-            o_samedoc = F.coalesce("obj_samedoc", F.lit(False))
-            _, s_stage, s_conf = stage_columns(
-                F.col("s_c_alias"), s_samedoc,
-                F.col("s_c_exact"), F.col("s_c_fuzzy"), F.col("subj"))
-            _, o_stage, o_conf = stage_columns(
-                F.col("o_c_alias"), o_samedoc,
-                F.col("o_c_exact"), F.col("o_c_fuzzy"), F.col("obj"))
-            s_final = (
-                F.when(F.col("s_c_alias").isNotNull() | s_samedoc
-                       | F.col("s_c_exact").isNotNull(), F.col("s_self_cc"))
-                .when(F.col("s_c_fuzzy").isNotNull(), F.col("s_fuzzy_cc"))
-                .otherwise(F.col("subj"))
-            )
-            o_final = (
-                F.when(F.col("o_c_alias").isNotNull() | o_samedoc
-                       | F.col("o_c_exact").isNotNull(), F.col("o_self_cc"))
-                .when(F.col("o_c_fuzzy").isNotNull(), F.col("o_fuzzy_cc"))
-                .otherwise(F.col("obj"))
-            )
-            return t.select(
-                "doc_url", "pred",
-                s_final.alias("subj"),
-                o_final.alias("obj"),
-                s_stage.alias("subj_stage"),
-                o_stage.alias("obj_stage"),
-                (F.coalesce(s_conf, F.lit(0.0)) * F.coalesce(o_conf, F.lit(0.0)))
-                    .alias("confidence"),
-            )
+            return resolve_triples(
+                raw_triples, name_map, canon, fuzzy_site,
+                dim_hint=lambda df: self._dim_hint(
+                    df, "name_links", "canonical_map"))
         resolved = self._load_or("triples_resolved", p3_resolved)
 
         # pass 4: final nodes/edges, partitioned by label / type.
@@ -444,7 +511,7 @@ class KGPipeline:
             "pages_text": pages_text, "extracted": corpus,
             "mentions": mentions, "triples_raw": raw_triples,
             "links": page_links, "entities": registry,
-            "name_map": name_map,
+            "name_map": name_map, "fuzzy_candidates": cands,
             "triples_resolved": resolved, "canonical_map": canon,
             "nodes": nodes, "edges": edges,
         }

@@ -91,6 +91,47 @@ def test_parse_image_header_golden_bytes():
     assert parse_image_header(b"") is None
 
 
+def test_parse_jpeg_progressive_and_corrupt_markers():
+    """VERDICT r03 next-round #8: SOF2 (progressive) parses like SOF0;
+    DHT/DAC/JPG markers are skipped, never mistaken for a frame; a
+    stream that loses marker alignment mid-scan returns None instead of
+    a bogus size."""
+    import struct
+
+    from gitnexus_spark.multimodal.binary_ops import parse_image_header
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof_payload = b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+
+    # progressive: DQT + DHT segments BEFORE the SOF2 frame
+    dqt = b"\xff\xdb\x00\x05" + b"\x00" * 3
+    dht = b"\xff\xc4\x00\x06" + b"\x00" * 4          # must be skipped
+    sof2 = b"\xff\xc2\x00\x11\x08" + struct.pack(">HH", 333, 222) \
+        + sof_payload
+    prog = b"\xff\xd8" + app0 + dqt + dht + sof2
+    assert parse_image_header(prog) == ("jpeg", 222, 333)
+
+    # DAC (0xCC) and JPG (0xC8) are also not frames
+    dac = b"\xff\xcc\x00\x04\x00\x00"
+    jpg = b"\xff\xc8\x00\x04\x00\x00"
+    sof15 = b"\xff\xcf\x00\x11\x08" + struct.pack(">HH", 10, 20) \
+        + sof_payload
+    assert parse_image_header(b"\xff\xd8" + dac + jpg + sof15) \
+        == ("jpeg", 20, 10)
+
+    # restart markers (standalone, no length) are stepped over
+    rst = b"\xff\xd0"
+    sof0 = b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 5, 6) + sof_payload
+    assert parse_image_header(b"\xff\xd8" + rst + sof0) == ("jpeg", 6, 5)
+
+    # corrupt: a segment length that points into non-marker bytes
+    bad_len = b"\xff\xe0\x00\x03\x00" + b"not-a-marker" + sof0
+    assert parse_image_header(b"\xff\xd8" + bad_len) is None
+
+    # truncated: stream ends before any SOF
+    assert parse_image_header(b"\xff\xd8" + app0 + dqt) is None
+
+
 def test_decode_assets_real_png_header(spark):
     """End-to-end: a real PNG payload yields its true dimensions through
     the distributed decode stage, no codec library involved."""
