@@ -55,6 +55,19 @@ def write_adjacency_bucketed(edges: DataFrame, table: str,
     key='src' for outbound and key='dst' for inbound traversal."""
     if key not in ("src", "dst"):
         raise ValueError(f"bucket key must be src or dst, got {key!r}")
+    spark = edges.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a managed-table DIRECTORY can outlive its metastore entry (fresh
+    # session, same warehouse dir) — saveAsTable would then fail with
+    # LOCATION_ALREADY_EXISTS, so clear the stale location first
+    import os
+    import shutil
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    loc = os.path.join(wh, table.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     edges.write.bucketBy(buckets, key).sortBy(key) \
         .mode("overwrite").format("parquet").saveAsTable(table)
 
