@@ -1355,6 +1355,79 @@ SELECT COALESCE(o.doc_id, i.doc_id) AS doc_id,
 FROM o FULL OUTER JOIN i ON o.doc_id = i.doc_id"""
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality: 3-iteration PageRank (damping 0.85, dangling
+    mass redistributed uniformly) over the pipeline-extracted LINKS_TO
+    graph. The graph is deterministically thinned so the result is
+    non-uniform and the oracle discriminates: docs = 0 (mod 13) keep NO
+    out-links (real dangling nodes), and the second nav link survives
+    only when doc % 7 < 3. Ranks are reported as micro-ranks
+    (round(rank*1e6)) so engine-order float ulps cannot flip the hash;
+    total mass stays 1 by construction."""
+    from gitnexus_spark.operators.graph_queries import pagerank
+
+    e = _doc_link_edges(spark, sf_dir)
+    pages = synth_pages_urls(spark, sf_dir)
+    n = pages.count()
+    keep = (F.col("src") % 13 != 0) & (
+        (F.col("dst") == (F.col("src") * 3 + 1) % n)
+        | (F.col("src") % 7 < 3))
+    nodes = pages.select(F.col("doc_id").alias("id"))
+    r = pagerank(nodes, e.filter(keep), iters=3, damping=0.85)
+    return r.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("rank") * F.lit(1000000.0)).cast("long")
+            .alias("micro_rank"))
+
+
+SQL_KG_PAGERANK = """WITH params AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*3+1) % n AS dst FROM documents, params
+  UNION
+  SELECT doc_id, (doc_id*11+7) % n FROM documents, params),
+e AS (
+  SELECT src, dst FROM e0, params
+  WHERE src % 13 <> 0
+    AND (dst = (src*3+1) % params.n OR src % 7 < 3)),
+nodes AS (SELECT doc_id AS id FROM documents),
+outdeg AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY src),
+deg AS (SELECT nodes.id, COALESCE(out_deg, 0) AS out_deg
+        FROM nodes LEFT JOIN outdeg ON outdeg.id = nodes.id),
+r0 AS (SELECT id, 1e0 / params.n AS rank FROM nodes, params),
+d0 AS (SELECT COALESCE(SUM(r.rank), 0e0) AS mass
+       FROM r0 r JOIN deg ON deg.id = r.id WHERE deg.out_deg = 0),
+c0 AS (SELECT e.dst AS id, SUM(r.rank / deg.out_deg) AS contrib
+       FROM e JOIN r0 r ON r.id = e.src JOIN deg ON deg.id = e.src
+       WHERE deg.out_deg > 0 GROUP BY e.dst),
+r1 AS (SELECT nodes.id,
+        (1e0 - 0.85) / params.n
+        + 0.85 * (COALESCE(c0.contrib, 0e0) + d0.mass / params.n) AS rank
+       FROM nodes CROSS JOIN params CROSS JOIN d0
+       LEFT JOIN c0 ON c0.id = nodes.id),
+d1 AS (SELECT COALESCE(SUM(r.rank), 0e0) AS mass
+       FROM r1 r JOIN deg ON deg.id = r.id WHERE deg.out_deg = 0),
+c1 AS (SELECT e.dst AS id, SUM(r.rank / deg.out_deg) AS contrib
+       FROM e JOIN r1 r ON r.id = e.src JOIN deg ON deg.id = e.src
+       WHERE deg.out_deg > 0 GROUP BY e.dst),
+r2 AS (SELECT nodes.id,
+        (1e0 - 0.85) / params.n
+        + 0.85 * (COALESCE(c1.contrib, 0e0) + d1.mass / params.n) AS rank
+       FROM nodes CROSS JOIN params CROSS JOIN d1
+       LEFT JOIN c1 ON c1.id = nodes.id),
+d2 AS (SELECT COALESCE(SUM(r.rank), 0e0) AS mass
+       FROM r2 r JOIN deg ON deg.id = r.id WHERE deg.out_deg = 0),
+c2 AS (SELECT e.dst AS id, SUM(r.rank / deg.out_deg) AS contrib
+       FROM e JOIN r2 r ON r.id = e.src JOIN deg ON deg.id = e.src
+       WHERE deg.out_deg > 0 GROUP BY e.dst),
+r3 AS (SELECT nodes.id,
+        (1e0 - 0.85) / params.n
+        + 0.85 * (COALESCE(c2.contrib, 0e0) + d2.mass / params.n) AS rank
+       FROM nodes CROSS JOIN params CROSS JOIN d2
+       LEFT JOIN c2 ON c2.id = nodes.id)
+SELECT id AS doc_id, CAST(ROUND(rank * 1000000e0) AS BIGINT) AS micro_rank
+FROM r3"""
+
+
 def q_kg_var_length_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 variable-length paths *1..3 from the page of doc 0 over
     LINKS_TO, capped at 10 per start (reference query-engine.ts:254-323)."""
@@ -1584,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_paths_between": q_kg_paths_between,
         "kg_var_length_paths": q_kg_var_length_paths,
         "kg_node_degree": q_kg_node_degree,
+        "kg_pagerank": q_kg_pagerank,
         "kg_search_nodes": q_kg_search_nodes,
         "kg_fuzzy_locality": q_kg_fuzzy_locality,
         "archive_pages": q_archive_pages,
@@ -1640,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,
         "kg_var_length_paths": SQL_KG_VAR_PATHS,
         "kg_node_degree": SQL_KG_NODE_DEGREE,
+        "kg_pagerank": SQL_KG_PAGERANK,
         "kg_search_nodes": SQL_KG_SEARCH_NODES,
         "kg_fuzzy_locality": SQL_KG_FUZZY_LOCALITY,
         "archive_pages": SQL_ARCHIVE_PAGES,

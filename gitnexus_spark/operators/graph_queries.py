@@ -332,3 +332,68 @@ def top_entities_by_mentions(nodes: DataFrame, edges: DataFrame, k: int = 10) ->
         .orderBy(F.desc("n_mentions"), F.asc("name"))
         .limit(k)
     )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over the (nodes, edges) two-table graph.
+
+    Centrality analytics on the constructed KG / page-link graph — the
+    natural extension of the reference's degree surface (node_degree /
+    top-entities, query-engine.ts:448-478): same graph model, iterated.
+    Dangling mass (nodes with no out-edges) is redistributed uniformly,
+    so total rank mass stays 1 at every iteration.
+
+    Scale shape: each iteration is ONE edge-scale shuffle — edges join
+    the node-scale rank table on src (both hash-partitioned on the join
+    key), then a partial-aggregated groupBy(dst).  The node count and
+    the dangling mass enter the plan as broadcast 1-row aggregates, so
+    no iteration takes a driver action; `iters` is a fixed small constant
+    (rank deltas decay geometrically by `damping`), so the driver loop is
+    bounded plan construction, not data-dependent iteration.  Per-
+    iteration persist() truncates recompute fan-out while keeping every
+    table distributed.
+
+    nodes: DataFrame with column `id` (must cover all edge endpoints;
+    isolated nodes get the (1-d)/n floor plus dangling share).
+    edges:  DataFrame with columns `src`, `dst`; parallel edges count
+    double, matching the contribution semantics of a multigraph.
+    Returns (id, rank) with SUM(rank) == 1.
+    """
+    ids = nodes.select("id")
+    e = edges.select("src", "dst")
+    nf = ids.agg(F.count("*").alias("n"))
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg"))
+    deg = ids.join(outdeg, "id", "left").select(
+        "id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+    deg = deg.persist()
+    ranks = ids.crossJoin(F.broadcast(nf)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("rank"))
+    base = F.lit(1.0 - damping)
+    for _ in range(iters):
+        withdeg = ranks.join(deg, "id")
+        dang = withdeg.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        contribs = (
+            e.join(
+                withdeg.filter(F.col("out_deg") > 0).select(
+                    F.col("id").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("w")),
+                "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        ranks = (
+            ids.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(nf))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (base / F.col("n")
+                 + F.lit(damping) * (F.coalesce("contrib", F.lit(0.0))
+                                     + F.col("dangling") / F.col("n"))
+                 ).alias("rank"))
+            .persist()
+        )
+    return ranks

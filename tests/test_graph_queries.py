@@ -175,3 +175,63 @@ def test_sql_views(spark, graph):
         JOIN nodes n ON e.dst = n.id WHERE e.type = 'MENTIONS'
         GROUP BY n.name ORDER BY c DESC, n.name LIMIT 1""").collect()
     assert got[0]["name"] == "Acme"
+
+
+class TestPagerank:
+    """Fixed-iteration PageRank vs an independent numpy power iteration."""
+
+    @staticmethod
+    def _numpy_pagerank(n, edge_list, iters, d=0.85):
+        import numpy as np
+
+        out_deg = np.zeros(n)
+        for s, _ in edge_list:
+            out_deg[s] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            nxt = np.full(n, (1.0 - d) / n)
+            dangling = r[out_deg == 0].sum()
+            nxt += d * dangling / n
+            for s, t in edge_list:
+                nxt[t] += d * r[s] / out_deg[s]
+            r = nxt
+        return r
+
+    def _run(self, spark, n, edge_list, iters=3):
+        from gitnexus_spark.operators.graph_queries import pagerank
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["id"]: r["rank"]
+               for r in pagerank(nodes, edges, iters=iters).collect()}
+        exp = self._numpy_pagerank(n, edge_list, iters)
+        assert set(got) == set(range(n))
+        for i in range(n):
+            assert abs(got[i] - exp[i]) < 1e-12, (i, got[i], exp[i])
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+        return got
+
+    def test_star_with_dangling(self, spark):
+        # hub 0 -> {1,2,3}; 4 isolated (dangling); 1..3 -> 0
+        edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]
+        got = self._run(spark, 5, edges)
+        # the hub receives three full contributions: strictly top-ranked
+        assert got[0] > got[1] > got[4]
+        assert got[1] == got[2] == got[3]
+
+    def test_all_dangling(self, spark):
+        # no edges at all: every node is dangling -> uniform at every step
+        from gitnexus_spark.operators.graph_queries import pagerank
+
+        nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+        edges = spark.createDataFrame([], "src long, dst long")
+        got = {r["id"]: r["rank"]
+               for r in pagerank(nodes, edges, iters=2).collect()}
+        for v in got.values():
+            assert abs(v - 0.25) < 1e-15
+
+    def test_parallel_edges_count_double(self, spark):
+        # 0 -> 1 twice, 0 -> 2 once: rank(1) > rank(2)
+        edges = [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
+        got = self._run(spark, 3, edges)
+        assert got[1] > got[2]
