@@ -307,11 +307,62 @@ def ivf_assign(corpus: DataFrame, n_cells: int | None = None,
     return leaders, assigned
 
 
+def train_leaders(corpus: DataFrame, n_cells: int | None = None,
+                  iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_rows: int | None = None) -> list:
+    """Lloyd (k-means-style) refinement of the stratified hash-sample
+    leaders — the recall upgrade select_leaders' docstring names. Seeded
+    from the deterministic md5-fold sample, then `iters` rounds of
+    assign-to-nearest / recompute-centroid, entirely distributed:
+
+    - assignment is the same zero-shuffle Arrow scan as the index build
+      (_assign_cells, n_top=1);
+    - centroid recomputation is ONE shuffle keyed (cell_id, dim):
+      posexplode -> partial-aggregated avg, then per-cell re-assembly
+      ordered by dim (array_sort over (pos, mean) structs — collect_list
+      order is not guaranteed, the sort is). Map-side combine reduces
+      the exploded n*d rows to n_cells*d before the exchange.
+
+    Cells that win no vectors keep their previous centroid. Cell ids
+    stay the seed ids, so downstream bucketing/pruning layouts are
+    unchanged by retraining. Returns leader_rows [(cell_id, vec)]
+    for ivf_assign/ivf_topk(leader_rows=...).
+
+    Trained centroids are means, so they are NOT rows of the corpus and
+    NOT reproducible by the fold arithmetic — queries that need a DuckDB
+    oracle keep the untrained sample (bit-exact both sides); training is
+    for recall-gated offline index builds (tests assert the recall win).
+    """
+    if n_cells is None:
+        if n_rows is None:
+            n_rows = corpus.count()
+        n_cells = default_n_cells(n_rows)
+    leader_rows = select_leaders(corpus, n_cells, id_col, vec_col,
+                                 n_rows=n_rows).collect()
+    leaders = {r[0]: r[1] for r in leader_rows}
+    for _ in range(iters):
+        assigned = _assign_cells(corpus, list(leaders.items()), 1,
+                                 id_col, vec_col)
+        means = (
+            assigned.select("cell_id",
+                            F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell_id", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m)))"
+                        ", s -> s.m)").alias("centroid"))
+        )
+        for r in means.collect():
+            leaders[r["cell_id"]] = r["centroid"]
+    return sorted(leaders.items())
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int | None = None, n_probe: int | None = None,
              n_assign: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             leader_rows: list | None = None) -> DataFrame:
     """ANN top-k: probe the n_probe nearest cells per query, exact search
     within. Defaults scale with the data: n_cells ~ sqrt(n), n_probe ~
     2*sqrt(n_cells), 2-way corpus assignment (boundary-recall insurance
@@ -320,15 +371,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     rest the assigned table is written bucketed/partitioned by cell_id so
     a probe touches only matching buckets (partition pruning).
     Multi-assignment can surface the same (query, vector) pair via two
-    cells — deduped before scoring."""
+    cells — deduped before scoring.
+
+    leader_rows: precomputed [(cell_id, vec)] — e.g. Lloyd-trained
+    centroids from train_leaders — skips leader selection entirely."""
     n_rows = None
     if n_cells is None:
-        n_rows = corpus.count()
-        n_cells = default_n_cells(n_rows)
+        if leader_rows is not None:
+            n_cells = len(leader_rows)
+        else:
+            n_rows = corpus.count()
+            n_cells = default_n_cells(n_rows)
     if n_probe is None:
         n_probe = default_n_probe(n_cells)
-    leader_rows = select_leaders(corpus, n_cells, id_col, vec_col,
-                                 n_rows=n_rows).collect()
+    if leader_rows is None:
+        leader_rows = select_leaders(corpus, n_cells, id_col, vec_col,
+                                     n_rows=n_rows).collect()
     leaders, assigned = ivf_assign(corpus, n_cells, id_col, vec_col,
                                    n_assign=n_assign, leader_rows=leader_rows)
     probes = _assign_cells(queries, leader_rows, n_probe, q_id_col, q_vec_col)

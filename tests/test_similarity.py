@@ -195,3 +195,48 @@ def test_partition_topk_bounds_exchange_volume(spark):
             ["score", "vec_id"], ascending=[False, True]).head(k)
         g = got[got.q_id == q].sort_values("rank")
         assert list(g.vec_id) == list(sub.vec_id)
+
+
+def test_lloyd_trained_leaders_beat_sampled(spark):
+    """train_leaders (Lloyd refinement, VERDICT r03 missing #4): on a
+    clustered corpus where a stratified id-sample seeds some clusters
+    with 0 leaders and others with 2+, two training rounds move the
+    centroids onto the clusters and recall at n_probe=2 rises above the
+    sampled baseline. Deterministic: fixed numpy seed, well-separated
+    clusters (no argmax ties for float-sum ordering to flip)."""
+    import numpy as np
+
+    from gitnexus_spark.operators.similarity import (brute_force_topk,
+                                                     ivf_topk,
+                                                     train_leaders)
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, d = 16, 100, 32
+    rows = []
+    for c in range(n_clusters):
+        center = np.zeros(d)
+        center[2 * c] = 1.0         # orthogonal cluster axes
+        for i in range(per):
+            v = center + rng.normal(0, 0.08, d)
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = emb.persist()
+    queries = emb.filter("vec_id % 157 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    bf = {(r["q_id"], r["vec_id"])
+          for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(leader_rows):
+        ivf = {(r["q_id"], r["vec_id"])
+               for r in ivf_topk(emb, queries, k=5, n_probe=2, n_assign=1,
+                                 leader_rows=leader_rows).collect()}
+        return len(bf & ivf) / len(bf)
+
+    seeded = train_leaders(emb, n_cells=n_clusters, iters=0)
+    trained = train_leaders(emb, n_cells=n_clusters, iters=2)
+    # same cell-id universe: retraining never disturbs at-rest layouts
+    assert [c for c, _ in trained] == [c for c, _ in seeded]
+    r_seed, r_train = recall(seeded), recall(trained)
+    assert r_train >= r_seed, (r_seed, r_train)
+    assert r_train >= 0.9, f"trained recall {r_train}"
+    emb.unpersist()
