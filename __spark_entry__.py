@@ -1169,6 +1169,65 @@ SELECT doc_id,
 FROM sh"""
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: deterministic per-source sampling via the
+    shared md5 fold — the mix recipe is a literal CASE, the filter is
+    scan-local (zero shuffles), and the surviving row set is identical
+    across runs/retries/clusters, which seeded df.sample cannot
+    promise."""
+    from gitnexus_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        id_col="doc_id", default=0.05)
+    return out.select("doc_id", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """WITH f AS (
+  SELECT doc_id, source,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS fold,
+    CASE source WHEN 'src0' THEN 1.0::DOUBLE WHEN 'src1' THEN 0.5::DOUBLE
+                WHEN 'src2' THEN 0.25::DOUBLE WHEN 'src3' THEN 0.1::DOUBLE
+                ELSE 0.05::DOUBLE END AS frac
+  FROM documents)
+SELECT doc_id, source FROM f
+WHERE fold < frac * 1152921504606846976e0"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: contiguous greedy token-budget binning
+    per source (the streaming-concat packing of LM pipelines) — one
+    window shuffle keyed by the stratum the writer already partitions
+    by. Token counts come from the oracle-matched whitespace counter."""
+    from gitnexus_spark.functions.text import with_token_count
+    from gitnexus_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(with_token_count(docs), part_col="source",
+                         order_col="doc_id", token_col="n_tokens",
+                         budget=512)
+    return out.select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
+
+
+SQL_PACK_SEQUENCES = """WITH t AS (
+  SELECT doc_id, source,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+    END AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS bef
+  FROM t)
+SELECT doc_id, source, n_tokens,
+  CAST(FLOOR(bef / 512) AS BIGINT) AS seq_id,
+  CAST(bef - CAST(FLOOR(bef / 512) AS BIGINT) * 512 AS BIGINT) AS seq_offset
+FROM c"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gitnexus_spark.operators.similarity import brute_force_topk
 
@@ -1690,6 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ivf_at_rest": q_similarity_ivf_at_rest,
@@ -1747,6 +1808,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
         "text_stats": _sql_text_stats(),
         "fingerprint": SQL_FINGERPRINT,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann_ivf": _sql_ann_ivf(),
         "similarity_ivf_at_rest": _sql_ann_ivf(),
