@@ -1,0 +1,69 @@
+"""spark-submit entry point for the graph READ path: SQL over a built
+knowledge-graph warehouse.
+
+The reference exposes its graph through a query box (regex-Cypher /
+Kuzu Cypher, query-engine.ts:46-132); here the equivalent surface is
+ANSI SQL over the `nodes` / `edges` views of a pipeline output
+directory, with the same auto-LIMIT guardrail the reference applies to
+unbounded statements (query-optimization.ts:412-422).
+
+    spark-submit --py-files gitnexus_spark.zip jobs/query.py \
+        --warehouse /path/to/kg_out \
+        --sql "SELECT label, COUNT(*) n FROM nodes GROUP BY label"
+
+Local smoke:
+
+    python jobs/query.py --warehouse /tmp/kg_job \
+        --sql "SELECT type, COUNT(*) n FROM edges GROUP BY type" --json
+
+Prints query results (tab-separated, or one JSON object per row with
+--json) to stdout; row output is capped by the guardrail unless the
+statement carries its own LIMIT.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True,
+                    help="pipeline --output dir (contains nodes/, edges/)")
+    ap.add_argument("--sql", required=True, help="ANSI SQL over nodes/edges")
+    ap.add_argument("--auto-limit", type=int, default=1000,
+                    help="LIMIT appended to statements that have none")
+    ap.add_argument("--json", action="store_true",
+                    help="one JSON object per row instead of TSV")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from gitnexus_spark.operators.graph_queries import (guarded_sql,
+                                                        register_views)
+    from gitnexus_spark.session import get_spark
+
+    spark = get_spark(app_name="gitnexus-query", master=args.master)
+    nodes = spark.read.parquet(os.path.join(args.warehouse, "nodes"))
+    edges = spark.read.parquet(os.path.join(args.warehouse, "edges"))
+    register_views(nodes, edges)
+    df = guarded_sql(spark, args.sql, auto_limit=args.auto_limit)
+    cols = df.columns
+    if args.json:
+        for row in df.toLocalIterator():
+            print(json.dumps(dict(zip(cols, [row[c] for c in cols])),
+                             default=str))
+    else:
+        print("\t".join(cols))
+        for row in df.toLocalIterator():
+            print("\t".join("" if row[c] is None else str(row[c])
+                            for c in cols))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

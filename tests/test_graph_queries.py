@@ -235,3 +235,45 @@ class TestPagerank:
         edges = [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
         got = self._run(spark, 3, edges)
         assert got[1] > got[2]
+
+
+def test_query_cli_over_warehouse(spark, tmp_path):
+    """jobs/query.py: SQL over a written warehouse, guardrail applied,
+    TSV and JSON outputs (the reference's query-box surface as a
+    submitted job)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    nodes = spark.createDataFrame(
+        [("n1", "Page", "p1"), ("n2", "Entity", "Acme"),
+         ("n3", "Entity", "Zorg")], "id string, label string, name string")
+    edges = spark.createDataFrame(
+        [("e1", "MENTIONS", "n1", "n2"), ("e2", "MENTIONS", "n1", "n3")],
+        "id string, type string, src string, dst string")
+    wh = str(tmp_path / "wh")
+    nodes.write.parquet(os.path.join(wh, "nodes"))
+    edges.write.parquet(os.path.join(wh, "edges"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "query.py"),
+         "--warehouse", wh, "--json", "--master", "local[2]",
+         "--sql", "SELECT label, COUNT(*) AS n FROM nodes GROUP BY label"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(line) for line in r.stdout.splitlines()
+            if line.startswith("{")]
+    assert {(x["label"], x["n"]) for x in rows} == {("Page", 1), ("Entity", 2)}
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "query.py"),
+         "--warehouse", wh, "--master", "local[2]", "--auto-limit", "1",
+         "--sql", "SELECT id FROM nodes ORDER BY id"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    data_lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("n")]
+    assert data_lines == ["n1"]  # guardrail LIMIT 1 applied
