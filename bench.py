@@ -74,6 +74,7 @@ def main() -> None:
         "interval_join", "events_sessionize", "dedup_exact",
         "dedup_minhash_pairs", "dedup_simhash", "text_stats",
         "similarity_topk", "similarity_ann_ivf",
+        "stratified_sample", "pack_sequences",
     ]
     qs = entrymod.queries()
     for name in heads:
