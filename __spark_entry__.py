@@ -1228,6 +1228,23 @@ SELECT doc_id, source, n_tokens,
 FROM c"""
 
 
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized retrieval (memory path of the ANN family):
+    Lloyd-trained per-subspace codebooks, m-byte codes, ADC shortlist,
+    exact re-rank. No SQL oracle — codebook centroids are trained
+    floats, not SQL-replayable arithmetic; the recall gates live in
+    tests/test_pq.py and the driver records the rows-only check."""
+    from gitnexus_spark.operators.pq import (encode_pq, pq_topk_rerank,
+                                             train_pq_codebooks)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("q_id"),
+                                        F.col("embedding").alias("q_vec"))
+    books = train_pq_codebooks(emb, m=8, k=32, iters=1)
+    codes = encode_pq(emb, books)
+    return pq_topk_rerank(codes, emb, q, books, k=10, shortlist=50)
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gitnexus_spark.operators.similarity import brute_force_topk
 
@@ -1751,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "pq_search": q_pq_search,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ivf_at_rest": q_similarity_ivf_at_rest,
