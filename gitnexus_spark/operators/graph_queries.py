@@ -347,12 +347,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
     Scale shape: each iteration is ONE edge-scale shuffle — edges join
     the node-scale rank table on src (both hash-partitioned on the join
     key), then a partial-aggregated groupBy(dst).  The node count and
-    the dangling mass enter the plan as broadcast 1-row aggregates, so
-    no iteration takes a driver action; `iters` is a fixed small constant
-    (rank deltas decay geometrically by `damping`), so the driver loop is
-    bounded plan construction, not data-dependent iteration.  Per-
-    iteration persist() truncates recompute fan-out while keeping every
-    table distributed.
+    the dangling mass enter the plan as broadcast 1-row aggregates.
+    `iters` is a fixed small constant (rank deltas decay geometrically
+    by `damping`), so the driver loop is bounded plan construction.
+    Each iteration's rank table is persisted and materialized by one
+    node-scale count action, which lets the PREVIOUS iteration's cache
+    blocks be released immediately — without eager materialization the
+    3-fold per-iteration fan-in (withdeg/dangling/contribs) recomputes
+    exponentially, and without the release repeated calls pin executor
+    storage for the session lifetime. The returned frame stays
+    persisted; the caller may unpersist it when done.
 
     nodes: DataFrame with column `id` (must cover all edge endpoints;
     isolated nodes get the (1-d)/n floor plus dangling share).
@@ -371,6 +375,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
     ranks = ids.crossJoin(F.broadcast(nf)).select(
         "id", (F.lit(1.0) / F.col("n")).alias("rank"))
     base = F.lit(1.0 - damping)
+    prev = None
     for _ in range(iters):
         withdeg = ranks.join(deg, "id")
         dang = withdeg.filter(F.col("out_deg") == 0).agg(
@@ -396,4 +401,9 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
                  ).alias("rank"))
             .persist()
         )
+        ranks.count()          # materialize, then free the previous round
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    deg.unpersist()
     return ranks

@@ -64,12 +64,18 @@ def train_pq_codebooks(corpus: DataFrame, m: int = 8, k: int = 256,
     import numpy as np
 
     n = corpus.count()
+    if n == 0:
+        raise ValueError("train_pq_codebooks: corpus is empty")
     df = corpus.select(id_col, vec_col)
     if n > sample_rows:
         bound = int((1 << 60) * (float(sample_rows) / n))
         df = df.filter(fold_expr(id_col) < bound)
     df = df.withColumn("_fold", fold_expr(id_col))
     seed_rows = df.orderBy("_fold", id_col).limit(k).collect()
+    if not seed_rows:  # sample filter left nothing (tiny sample_rows)
+        df = corpus.select(id_col, vec_col).withColumn(
+            "_fold", fold_expr(id_col))
+        seed_rows = df.orderBy("_fold", id_col).limit(k).collect()
     first = np.asarray(seed_rows[0][vec_col], dtype=np.float64)
     d = first.shape[0]
     slices = _subspace_slices(d, m)
@@ -192,6 +198,16 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list,
     slices = _subspace_slices(d, len(books))
     q_rows = queries.select(q_id_col, q_vec_col).collect()
     q_ids = [r[q_id_col] for r in q_rows]
+    if not q_rows:  # np.stack([]) raises; empty in -> empty out
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        qid_type = queries.select(q_id_col).schema[0].dataType
+        empty = StructType([StructField(q_id_col, qid_type),
+                            codes.select(id_col).schema[0],
+                            StructField("score", DoubleType())])
+        from gitnexus_spark.operators.similarity import _topk_merge
+        return _topk_merge(
+            codes.sparkSession.createDataFrame([], empty), k,
+            q_id_col, id_col)
     luts = []
     for r in q_rows:
         qv = np.asarray(r[q_vec_col], dtype=np.float64)

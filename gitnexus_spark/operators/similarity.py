@@ -163,13 +163,14 @@ def leader_order_expr(id_col: str) -> F.Column:
     it replaces sampled only the head of the table; k-means|| offline
     remains the recall upgrade). Same fold as the dedup family, so the
     DuckDB oracle reproduces it: ('0x' || substring(md5(id::VARCHAR),
-    1, 15))::BIGINT."""
-    return F.expr(
-        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10)"
-        " as bigint)")
+    1, 15))::BIGINT. The expression itself is the shared family fold
+    (sampling.fold_expr) — one definition, every consumer."""
+    from gitnexus_spark.operators.sampling import fold_expr
+
+    return fold_expr(id_col)
 
 
-FOLD_MAX = 1 << 60  # md5-fold values are uniform in [0, 2^60)
+from gitnexus_spark.operators.sampling import FOLD_MAX  # noqa: E402  (canonical home)
 
 
 def select_leaders(corpus: DataFrame, n_cells: int,
@@ -296,12 +297,24 @@ def ivf_assign(corpus: DataFrame, n_cells: int | None = None,
     cosine) — at 10^12 rows there is no exchange at all until the caller
     buckets by cell_id.
     """
-    n_rows = None
-    if n_cells is None:
-        n_rows = corpus.count()
-        n_cells = default_n_cells(n_rows)
-    leaders = select_leaders(corpus, n_cells, id_col, vec_col, n_rows=n_rows)
-    if leader_rows is None:
+    if leader_rows is not None:
+        # precomputed (possibly Lloyd-trained) leaders: the returned
+        # frame is built FROM them so (leaders, assigned) stay one
+        # consistent pair and no selection scan/count job runs here
+        vec_type = corpus.schema[vec_col].dataType
+        id_type = corpus.schema[id_col].dataType
+        from pyspark.sql.types import StructField, StructType
+        leaders = corpus.sparkSession.createDataFrame(
+            [(r[0], list(map(float, r[1]))) for r in leader_rows],
+            StructType([StructField("cell_id", id_type),
+                        StructField("cell_vec", vec_type)]))
+    else:
+        n_rows = None
+        if n_cells is None:
+            n_rows = corpus.count()
+            n_cells = default_n_cells(n_rows)
+        leaders = select_leaders(corpus, n_cells, id_col, vec_col,
+                                 n_rows=n_rows)
         leader_rows = leaders.collect()
     assigned = _assign_cells(corpus, leader_rows, n_assign, id_col, vec_col)
     return leaders, assigned
@@ -436,12 +449,11 @@ def ivf_topk_at_rest(spark, path: str, queries: DataFrame, k: int = 10,
     # rebuild the broadcast side from the collected rows — the lazy
     # re-evaluation that ran _assign_cells twice (distinct-collect, then
     # again inside the join) is gone (r3 ADVICE).
-    probe_rows = _assign_cells(queries, leader_rows, n_probe,
-                               q_id_col, q_vec_col).collect()
+    assigned_q = _assign_cells(queries, leader_rows, n_probe,
+                               q_id_col, q_vec_col)
+    probe_rows = assigned_q.collect()
     probe_cells = sorted({r["cell_id"] for r in probe_rows})
-    probes = spark.createDataFrame(
-        probe_rows, _assign_cells(queries.limit(0), leader_rows, n_probe,
-                                  q_id_col, q_vec_col).schema)
+    probes = spark.createDataFrame(probe_rows, assigned_q.schema)
     assigned = spark.read.parquet(os.path.join(path, "assigned")) \
         .filter(F.col("cell_id").isin(probe_cells))
     cand = assigned.join(F.broadcast(probes), "cell_id") \

@@ -57,6 +57,10 @@ def with_salt(df: DataFrame, key_col: str, salts: int,
     """
     mix = [F.col(key_col), F.col(id_col)] if id_col else \
         [F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)]
+    if not mix:  # every column map-typed: F.hash() has no valid input
+        raise ValueError(
+            "with_salt: no hashable columns to derive a salt from "
+            "(all columns are map-typed) — pass id_col")
     return df.withColumn(
         salt_col, F.pmod(F.hash(*mix), F.lit(salts)).cast("int"))
 

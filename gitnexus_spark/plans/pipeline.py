@@ -318,194 +318,200 @@ class KGPipeline:
         # resolved chain instead of barriering before it (VERDICT r03
         # next-round #1: the non-scaling term is the constant driver gap
         # between small sequential commit jobs — fewer barriers, less
-        # gap). On an exception mid-run the in-flight writes finish in
-        # the background; the executor's threads are joined at exit.
-        pool = ThreadPoolExecutor(4)
-        f_sn = pool.submit(self._load_or, "struct_nodes", lambda: s_nodes_df)
-        f_se = pool.submit(self._load_or, "struct_edges", lambda: s_edges_df)
-        registry = self._load_or("entities", p3_registry)
+        # gap). The with-block joins the workers on EVERY exit path —
+        # an exception mid-chain blocks until in-flight commits finish,
+        # so a caller that catches and re-runs (resume) can never race
+        # a background write still holding the same table directory.
+        with ThreadPoolExecutor(4) as pool:
+            f_sn = pool.submit(self._load_or, "struct_nodes", lambda: s_nodes_df)
+            f_se = pool.submit(self._load_or, "struct_edges", lambda: s_edges_df)
+            registry = self._load_or("entities", p3_registry)
 
-        # 3a: the name-keyed resolution map (alias / global-exact / fuzzy)
-        # over DISTINCT endpoint surface forms — vocabulary-scale, joined
-        # back onto the triples fact table. The doc-granular same-doc
-        # signal needs no join at all: it rides on the triple rows as
-        # booleans set during extraction. The exact map is built lazily
-        # ONCE and shared by the candidates and name_links builders (on
-        # resume neither builder fires, so it is never computed).
-        _m: list[DataFrame] = []
+            # 3a: the name-keyed resolution map (alias / global-exact / fuzzy)
+            # over DISTINCT endpoint surface forms — vocabulary-scale, joined
+            # back onto the triples fact table. The doc-granular same-doc
+            # signal needs no join at all: it rides on the triple rows as
+            # booleans set during extraction. The exact map is built lazily
+            # ONCE and shared by the candidates and name_links builders (on
+            # resume neither builder fires, so it is never computed).
+            _m: list[DataFrame] = []
 
-        def exact_map() -> DataFrame:
-            if not _m:
-                names = (
-                    raw_triples.select(F.col("subj").alias("name"))
-                    .unionByName(
-                        raw_triples.select(F.col("obj").alias("name")))
-                    .dropDuplicates(["name"])
+            def exact_map() -> DataFrame:
+                if not _m:
+                    names = (
+                        raw_triples.select(F.col("subj").alias("name"))
+                        .unionByName(
+                            raw_triples.select(F.col("obj").alias("name")))
+                        .dropDuplicates(["name"])
+                    )
+                    _m.append(exact_resolution_map(names, registry,
+                                                   self.alias_dict))
+                return _m[0]
+
+            def p3_cands():
+                return build_fuzzy_candidates(self.spark, exact_map(), registry)
+            cands = self._load_or("fuzzy_candidates", p3_cands)
+
+            def p3_name_map():
+                top1 = fuzzy_top1(cands).select("name", "c_fuzzy")
+                return exact_map().join(top1, "name", "left")
+            name_map = self._load_or("name_links", p3_name_map)
+
+            # 3a': per-call-site fuzzy resolution (VERDICT r02 #2) — shared
+            # implementation in build_fuzzy_site, re-ranking the committed
+            # candidate lists (no second gram-blocking join).
+            def p3_fuzzy_site():
+                # cands is the just-committed fuzzy_candidates table, so
+                # its EXACT observed row count gates the broadcast — the
+                # 8x name_links fan-out estimate it replaces could refuse
+                # a broadcast that actually fits (unresolved names are
+                # typically a small vocabulary fraction)
+                return build_fuzzy_site(
+                    self.spark, raw_triples, name_map, cands,
+                    dim_hint=lambda df, row_factor=1: self._dim_hint(
+                        df, "fuzzy_candidates"))
+            # fuzzy_site and canonical_map both depend only on name_map (+
+            # registry): build and commit them CONCURRENTLY (r03 next-round
+            # #1 — they were two of the three sequential pass-3 commits).
+            f_fz = pool.submit(self._load_or, "fuzzy_site_links", p3_fuzzy_site)
+
+            # 3b: coreference merge over the entity dimension (CC union-find).
+            # The canonical map must cover the FULL endpoint-name universe, not
+            # just registry ∪ fuzzy names: alias surface forms (and stop-entity
+            # or 1-char subjects) can appear as triple endpoints without ever
+            # surviving the mention filter, and without a canonical-map row
+            # p3_resolved keeps the raw form while pass 4 materializes no node
+            # for it -> dangling predicate edges (ADVICE r02, medium).
+            def p3_canon():
+                fuzzy_linked = name_map.filter(
+                    F.col("c_alias").isNull() & F.col("c_exact").isNull()
+                    & F.col("c_fuzzy").isNotNull()
+                ).select("name", F.col("c_fuzzy").alias("canonical_name"),
+                         F.lit("fuzzy").alias("stage"))
+                endpoint_names = name_map.select(
+                    "name", F.lit(None).cast("string").alias("canonical_name"),
+                    F.lit("endpoint").alias("stage"))
+                # targets of USED aliases: alias edges are CC inputs, so
+                # cc(alias) == cc(target) — but the target needs its own map
+                # row when it is neither a mention nor an endpoint itself
+                used_targets = name_map.filter(F.col("c_alias").isNotNull()) \
+                    .select(F.col("c_alias").alias("name"),
+                            F.lit(None).cast("string").alias("canonical_name"),
+                            F.lit("endpoint").alias("stage"))
+                return canonical_entities(
+                    registry,
+                    fuzzy_linked.unionByName(endpoint_names)
+                                .unionByName(used_targets),
+                    self.alias_dict)
+            canon = self._load_or("canonical_map", p3_canon)
+            fuzzy_site = f_fz.result()
+
+            # 3c: resolve triple endpoints. Stage precedence (alias > same_doc >
+            # name_exact > fuzzy > failed) mirrors the reference; the final
+            # canonical applies the CC merge on top of the STAGE-RESOLVED name.
+            # For alias/same_doc/exact stages cc(resolved) == cc(raw name)
+            # (alias edges are CC inputs; exact/same_doc resolve to the name
+            # itself), so self_cc covers them; the per-site fuzzy winner can be
+            # OUTSIDE the raw name's component — its cc rides on the fuzzy_site
+            # rows (attached on the candidate dimension, not the fact table).
+            # Name maps broadcast ONLY when their observed size fits the gate
+            # (_dim_hint; unhinted name-keyed shuffle join otherwise); the
+            # site map is keyed (doc_url, name) like the fact table and joins
+            # without a forced broadcast (AQE picks; at scale both co-keyed).
+            def p3_resolved():
+                return resolve_triples(
+                    raw_triples, name_map, canon, fuzzy_site,
+                    dim_hint=lambda df: self._dim_hint(
+                        df, "name_links", "canonical_map"))
+            resolved = self._load_or("triples_resolved", p3_resolved)
+
+            # pass 4: final nodes/edges, partitioned by label / type.
+            # Entity nodes = canonicals actually REFERENCED by an edge:
+            # mention canonicals (every MENTIONS dst) ∪ endpoints of fully-
+            # resolved triples (every predicate-edge src/dst). Deriving nodes
+            # from canon.canonical directly would — now that canon covers the
+            # full endpoint universe — also materialize nodes for endpoints
+            # that failed every linking stage, whose edges are filtered out,
+            # i.e. isolated-node integrity failures.
+            def p4_nodes():
+                men_canon = (
+                    registry.select("name")
+                    .join(self._dim_hint(canon, "canonical_map"), "name", "left")
+                    .select(F.coalesce("canonical", "name").alias("canonical"))
                 )
-                _m.append(exact_resolution_map(names, registry,
-                                               self.alias_dict))
-            return _m[0]
-
-        def p3_cands():
-            return build_fuzzy_candidates(self.spark, exact_map(), registry)
-        cands = self._load_or("fuzzy_candidates", p3_cands)
-
-        def p3_name_map():
-            top1 = fuzzy_top1(cands).select("name", "c_fuzzy")
-            return exact_map().join(top1, "name", "left")
-        name_map = self._load_or("name_links", p3_name_map)
-
-        # 3a': per-call-site fuzzy resolution (VERDICT r02 #2) — shared
-        # implementation in build_fuzzy_site, re-ranking the committed
-        # candidate lists (no second gram-blocking join).
-        def p3_fuzzy_site():
-            return build_fuzzy_site(
-                self.spark, raw_triples, name_map, cands,
-                dim_hint=lambda df, row_factor=1: self._dim_hint(
-                    df, "name_links", row_factor=row_factor))
-        # fuzzy_site and canonical_map both depend only on name_map (+
-        # registry): build and commit them CONCURRENTLY (r03 next-round
-        # #1 — they were two of the three sequential pass-3 commits).
-        f_fz = pool.submit(self._load_or, "fuzzy_site_links", p3_fuzzy_site)
-
-        # 3b: coreference merge over the entity dimension (CC union-find).
-        # The canonical map must cover the FULL endpoint-name universe, not
-        # just registry ∪ fuzzy names: alias surface forms (and stop-entity
-        # or 1-char subjects) can appear as triple endpoints without ever
-        # surviving the mention filter, and without a canonical-map row
-        # p3_resolved keeps the raw form while pass 4 materializes no node
-        # for it -> dangling predicate edges (ADVICE r02, medium).
-        def p3_canon():
-            fuzzy_linked = name_map.filter(
-                F.col("c_alias").isNull() & F.col("c_exact").isNull()
-                & F.col("c_fuzzy").isNotNull()
-            ).select("name", F.col("c_fuzzy").alias("canonical_name"),
-                     F.lit("fuzzy").alias("stage"))
-            endpoint_names = name_map.select(
-                "name", F.lit(None).cast("string").alias("canonical_name"),
-                F.lit("endpoint").alias("stage"))
-            # targets of USED aliases: alias edges are CC inputs, so
-            # cc(alias) == cc(target) — but the target needs its own map
-            # row when it is neither a mention nor an endpoint itself
-            used_targets = name_map.filter(F.col("c_alias").isNotNull()) \
-                .select(F.col("c_alias").alias("name"),
-                        F.lit(None).cast("string").alias("canonical_name"),
-                        F.lit("endpoint").alias("stage"))
-            return canonical_entities(
-                registry,
-                fuzzy_linked.unionByName(endpoint_names)
-                            .unionByName(used_targets),
-                self.alias_dict)
-        canon = self._load_or("canonical_map", p3_canon)
-        fuzzy_site = f_fz.result()
-
-        # 3c: resolve triple endpoints. Stage precedence (alias > same_doc >
-        # name_exact > fuzzy > failed) mirrors the reference; the final
-        # canonical applies the CC merge on top of the STAGE-RESOLVED name.
-        # For alias/same_doc/exact stages cc(resolved) == cc(raw name)
-        # (alias edges are CC inputs; exact/same_doc resolve to the name
-        # itself), so self_cc covers them; the per-site fuzzy winner can be
-        # OUTSIDE the raw name's component — its cc rides on the fuzzy_site
-        # rows (attached on the candidate dimension, not the fact table).
-        # Name maps broadcast ONLY when their observed size fits the gate
-        # (_dim_hint; unhinted name-keyed shuffle join otherwise); the
-        # site map is keyed (doc_url, name) like the fact table and joins
-        # without a forced broadcast (AQE picks; at scale both co-keyed).
-        def p3_resolved():
-            return resolve_triples(
-                raw_triples, name_map, canon, fuzzy_site,
-                dim_hint=lambda df: self._dim_hint(
-                    df, "name_links", "canonical_map"))
-        resolved = self._load_or("triples_resolved", p3_resolved)
-
-        # pass 4: final nodes/edges, partitioned by label / type.
-        # Entity nodes = canonicals actually REFERENCED by an edge:
-        # mention canonicals (every MENTIONS dst) ∪ endpoints of fully-
-        # resolved triples (every predicate-edge src/dst). Deriving nodes
-        # from canon.canonical directly would — now that canon covers the
-        # full endpoint universe — also materialize nodes for endpoints
-        # that failed every linking stage, whose edges are filtered out,
-        # i.e. isolated-node integrity failures.
-        def p4_nodes():
-            men_canon = (
-                registry.select("name")
-                .join(self._dim_hint(canon, "canonical_map"), "name", "left")
-                .select(F.coalesce("canonical", "name").alias("canonical"))
-            )
-            ok = resolved.filter(F.col("subj_stage") != "failed") \
-                         .filter(F.col("obj_stage") != "failed")
-            ref_canon = ok.select(F.col("subj").alias("canonical")) \
-                .unionByName(ok.select(F.col("obj").alias("canonical")))
-            ents = (
-                men_canon.unionByName(ref_canon)
-                .dropDuplicates(["canonical"])
-                .select(
-                    node_id("Entity", F.col("canonical")).alias("id"),
-                    F.lit("Entity").alias("label"),
-                    F.col("canonical").alias("name"),
-                    F.lit(None).cast("string").alias("url"),
+                ok = resolved.filter(F.col("subj_stage") != "failed") \
+                             .filter(F.col("obj_stage") != "failed")
+                ref_canon = ok.select(F.col("subj").alias("canonical")) \
+                    .unionByName(ok.select(F.col("obj").alias("canonical")))
+                ents = (
+                    men_canon.unionByName(ref_canon)
+                    .dropDuplicates(["canonical"])
+                    .select(
+                        node_id("Entity", F.col("canonical")).alias("id"),
+                        F.lit("Entity").alias("label"),
+                        F.col("canonical").alias("name"),
+                        F.lit(None).cast("string").alias("url"),
+                    )
                 )
-            )
-            return struct_nodes.unionByName(ents).dropDuplicates(["id"])
+                return struct_nodes.unionByName(ents).dropDuplicates(["id"])
 
-        def p4_edges():
-            page_ids = pages_text.select(
-                "url", node_id("Page", F.col("url")).alias("page_id"))
-            # LINKS_TO: page -> page (IMPORTS analogue, endpoint join J4);
-            # relative hrefs are normalized against the source page first
-            # (P7, reference import-processor.ts:522-606)
-            from ..operators.structure import normalize_link_targets
-            lt = (
-                normalize_link_targets(page_links)
-                .join(page_ids, "url")
-                .join(page_ids.withColumnRenamed("url", "target_url")
-                              .withColumnRenamed("page_id", "target_id"),
-                      "target_url", "inner")
-                .select(F.lit("LINKS_TO").alias("type"),
-                        F.col("page_id").alias("src"),
-                        F.col("target_id").alias("dst"),
-                        F.lit(1.0).alias("confidence"))
-            )
-            # MENTIONS: page -> canonical entity (DEFINES analogue)
-            men = (
-                mentions.join(self._dim_hint(canon, "canonical_map"),
-                              "name", "left")
-                .join(page_ids, "url")
-                .select(F.lit("MENTIONS").alias("type"),
-                        F.col("page_id").alias("src"),
-                        node_id("Entity", F.coalesce("canonical", "name")).alias("dst"),
-                        F.lit(1.0).alias("confidence"))
-            )
-            # predicate edges: entity -> entity (CALLS analogue); only fully
-            # resolved triples become edges (ref: unresolved calls are counted,
-            # not emitted — call-processor.ts:93-119)
-            pe = (
-                resolved
-                .filter(F.col("subj_stage") != "failed")
-                .filter(F.col("obj_stage") != "failed")
-                .select(F.upper("pred").alias("type"),
-                        node_id("Entity", F.col("subj")).alias("src"),
-                        node_id("Entity", F.col("obj")).alias("dst"),
-                        "confidence")
-            )
-            return (
-                struct_edges.select("type", "src", "dst",
-                                    F.lit(1.0).alias("confidence"))
-                .unionByName(lt).unionByName(men).unionByName(pe)
-                .dropDuplicates(["type", "src", "dst"])
-                .select(edge_id(F.col("type"), F.col("src"), F.col("dst")).alias("id"),
-                        "type", "src", "dst", "confidence")
-            )
-        # pass-4 needs the struct tables: join the overlapped writes now
-        struct_nodes, struct_edges = f_sn.result(), f_se.result()
-        urls.unpersist()
-        for df in struct_caches:
-            df.unpersist()
-        # nodes and edges are independent given resolved+canon: overlap them
-        f_nodes = pool.submit(self._load_or, "nodes", p4_nodes, ["label"])
-        f_edges = pool.submit(self._load_or, "edges", p4_edges, ["type"])
-        nodes, edges = f_nodes.result(), f_edges.result()
-        pool.shutdown()
+            def p4_edges():
+                page_ids = pages_text.select(
+                    "url", node_id("Page", F.col("url")).alias("page_id"))
+                # LINKS_TO: page -> page (IMPORTS analogue, endpoint join J4);
+                # relative hrefs are normalized against the source page first
+                # (P7, reference import-processor.ts:522-606)
+                from ..operators.structure import normalize_link_targets
+                lt = (
+                    normalize_link_targets(page_links)
+                    .join(page_ids, "url")
+                    .join(page_ids.withColumnRenamed("url", "target_url")
+                                  .withColumnRenamed("page_id", "target_id"),
+                          "target_url", "inner")
+                    .select(F.lit("LINKS_TO").alias("type"),
+                            F.col("page_id").alias("src"),
+                            F.col("target_id").alias("dst"),
+                            F.lit(1.0).alias("confidence"))
+                )
+                # MENTIONS: page -> canonical entity (DEFINES analogue)
+                men = (
+                    mentions.join(self._dim_hint(canon, "canonical_map"),
+                                  "name", "left")
+                    .join(page_ids, "url")
+                    .select(F.lit("MENTIONS").alias("type"),
+                            F.col("page_id").alias("src"),
+                            node_id("Entity", F.coalesce("canonical", "name")).alias("dst"),
+                            F.lit(1.0).alias("confidence"))
+                )
+                # predicate edges: entity -> entity (CALLS analogue); only fully
+                # resolved triples become edges (ref: unresolved calls are counted,
+                # not emitted — call-processor.ts:93-119)
+                pe = (
+                    resolved
+                    .filter(F.col("subj_stage") != "failed")
+                    .filter(F.col("obj_stage") != "failed")
+                    .select(F.upper("pred").alias("type"),
+                            node_id("Entity", F.col("subj")).alias("src"),
+                            node_id("Entity", F.col("obj")).alias("dst"),
+                            "confidence")
+                )
+                return (
+                    struct_edges.select("type", "src", "dst",
+                                        F.lit(1.0).alias("confidence"))
+                    .unionByName(lt).unionByName(men).unionByName(pe)
+                    .dropDuplicates(["type", "src", "dst"])
+                    .select(edge_id(F.col("type"), F.col("src"), F.col("dst")).alias("id"),
+                            "type", "src", "dst", "confidence")
+                )
+            # pass-4 needs the struct tables: join the overlapped writes now
+            struct_nodes, struct_edges = f_sn.result(), f_se.result()
+            urls.unpersist()
+            for df in struct_caches:
+                df.unpersist()
+            # nodes and edges are independent given resolved+canon: overlap them
+            f_nodes = pool.submit(self._load_or, "nodes", p4_nodes, ["label"])
+            f_edges = pool.submit(self._load_or, "edges", p4_edges, ["type"])
+            nodes, edges = f_nodes.result(), f_edges.result()
 
         return {
             "pages_text": pages_text, "extracted": corpus,

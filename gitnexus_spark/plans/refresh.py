@@ -56,6 +56,20 @@ def _b(df: DataFrame) -> DataFrame:
     return F.broadcast(df)
 
 
+def _bg(df: DataFrame) -> DataFrame:
+    """Closure-scale key sets (component members, candidate re-probe
+    universes, flipped-name doc sets): bounded by the delta's BLAST
+    RADIUS, not the batch — one hub component or hub candidate can make
+    them vocabulary- or corpus-scale (the r03 forced-broadcast hazard,
+    hints.py). These frames are localCheckpointed by construction, so
+    the gating count is a cached-partition sweep, not a recompute; over
+    the 64 MiB estimate the join goes unhinted (keyed shuffle, AQE may
+    still upgrade at runtime)."""
+    from .hints import EST_ROW_BYTES, broadcast_if_small
+
+    return broadcast_if_small(df, df.count() * EST_ROW_BYTES)
+
+
 def _latest_per_url(pages: DataFrame) -> DataFrame:
     """Within-batch dedup: two fetches of one url in a batch collapse to
     the latest warc_ts (same rule as the streaming re-ingest sink)."""
@@ -180,7 +194,7 @@ def refresh_from_batch(spark: SparkSession, out_dir: str,
 
     cand_changed = (
         cand_sig(cand_new).withColumnRenamed("sig", "_sn")
-        .join(cand_sig(cand_old.join(_b(re_probe), "name", "left_semi"))
+        .join(cand_sig(cand_old.join(_bg(re_probe), "name", "left_semi"))
               .withColumnRenamed("sig", "_so"), "name", "full_outer")
         .filter(~F.col("_sn").eqNullSafe(F.col("_so")))
         .select("name").localCheckpoint())
@@ -194,7 +208,7 @@ def refresh_from_batch(spark: SparkSession, out_dir: str,
     # other re-probed names keep their exact columns, new fuzzy winner
     top1 = fuzzy_top1(cand_new).select("name", "c_fuzzy")
     rows_ep = m_ep.join(top1, "name", "left")
-    rows_other = (nl_old.join(_b(re_probe), "name", "left_semi")
+    rows_other = (nl_old.join(_bg(re_probe), "name", "left_semi")
                   .join(_b(ep_all), "name", "left_anti")
                   .drop("c_fuzzy").join(top1, "name", "left")
                   .select("name", "c_alias", "c_exact", "c_fuzzy"))
@@ -231,11 +245,11 @@ def refresh_from_batch(spark: SparkSession, out_dir: str,
              .unionByName(partners.select("name"))
              .dropDuplicates(["name"]).localCheckpoint())
     # anchors: prior merges survive as name~canonical equivalences
-    anchors = (cm_old.join(_b(local), "name", "left_semi")
+    anchors = (cm_old.join(_bg(local), "name", "left_semi")
                .filter(F.col("name") != F.col("canonical"))
                .select("name", F.col("canonical").alias("canonical_name"),
                        F.lit("fuzzy").alias("stage")))
-    fuzzy_linked = (name_map.join(_b(local), "name", "left_semi")
+    fuzzy_linked = (name_map.join(_bg(local), "name", "left_semi")
                     .filter(F.col("c_alias").isNull()
                             & F.col("c_exact").isNull()
                             & F.col("c_fuzzy").isNotNull())
@@ -249,9 +263,9 @@ def refresh_from_batch(spark: SparkSession, out_dir: str,
     alias_local = None
     if alias_dict is not None:
         alias_local = alias_dict.join(
-            _b(local.withColumnRenamed("name", "_ln")),
+            _bg(local.withColumnRenamed("name", "_ln")),
             F.col("alias") == F.col("_ln"), "left_semi")
-    reg_local = registry.join(_b(local), "name", "left_semi")
+    reg_local = registry.join(_bg(local), "name", "left_semi")
     cm_new_local = canonical_entities(
         reg_local, anchors.unionByName(fuzzy_linked).unionByName(plain),
         alias_local)
@@ -262,7 +276,7 @@ def refresh_from_batch(spark: SparkSession, out_dir: str,
                                 .select(F.col("c_alias").alias("name")))
                    .dropDuplicates(["name"]))
     vanished = local.join(still_known, "name", "left_anti").localCheckpoint()
-    cm_new_local = cm_new_local.join(_b(vanished), "name", "left_anti") \
+    cm_new_local = cm_new_local.join(_bg(vanished), "name", "left_anti") \
         .localCheckpoint()
     # canonical delta on EFFECTIVE canonicals (a missing row means the
     # name canonicalizes to itself — node ids use coalesce(canonical,
@@ -270,7 +284,7 @@ def refresh_from_batch(spark: SparkSession, out_dir: str,
     cm_delta = (
         cm_new_local.select("name",
                             F.col("canonical").alias("_new")).alias("n")
-        .join(cm_old.join(_b(local), "name", "left_semi")
+        .join(cm_old.join(_bg(local), "name", "left_semi")
               .select("name", F.col("canonical").alias("_old")).alias("o"),
               "name", "full_outer")
         .select("name",
@@ -293,22 +307,22 @@ def refresh_from_batch(spark: SparkSession, out_dir: str,
                  .select("doc_url", F.col("subj").alias("name"))
                  .unionByName(t_all.select("doc_url",
                                            F.col("obj").alias("name")))
-                 .join(_b(flip_names), "name", "left_semi")
+                 .join(_bg(flip_names), "name", "left_semi")
                  .select("doc_url").dropDuplicates(["doc_url"]))
     redocs = (changed_urls.select(F.col("url").alias("doc_url"))
               .unionByName(docs_flip).dropDuplicates(["doc_url"])
               .localCheckpoint())
-    raw_redocs = t_all.join(_b(redocs), t_all.doc_url == redocs.doc_url,
+    raw_redocs = t_all.join(_bg(redocs), t_all.doc_url == redocs.doc_url,
                             "left_semi")
     fuzzy_site_rows = build_fuzzy_site(
         spark, raw_redocs, name_map, cands).localCheckpoint()
     w.replace_into(T("fuzzy_site_links"), fuzzy_site_rows, ["doc_url"],
                    delete_keys=redocs)
     res_old = (w.read(T("triples_resolved"))
-               .join(_b(redocs), "doc_url", "left_semi").localCheckpoint())
+               .join(_bg(redocs), "doc_url", "left_semi").localCheckpoint())
     res_new = resolve_triples(raw_redocs, name_map, canon,
                               w.read(T("fuzzy_site_links"))
-                              .join(_b(redocs), "doc_url", "left_semi")) \
+                              .join(_bg(redocs), "doc_url", "left_semi")) \
         .localCheckpoint()
     w.replace_into(T("triples_resolved"), res_new, ["doc_url"],
                    delete_keys=redocs)

@@ -36,6 +36,8 @@ from __future__ import annotations
 import fcntl
 import json
 import os
+import re
+import shutil
 import time
 import uuid
 from contextlib import contextmanager
@@ -137,10 +139,23 @@ class SnapshotWriter:
             .mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(stage)
+        try:
+            w.parquet(stage)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)  # no partial leak
+            raise
         with _manifest_lock(path):
             manifest = _load_manifest(path)
-            snap_id = (manifest[-1]["snapshot_id"] + 1) if manifest else 1
+            next_id = (manifest[-1]["snapshot_id"] + 1) if manifest else 1
+            # Crash safety: a kill between a previous writer's rename and
+            # its manifest append leaves an orphan snap-N dir with no
+            # manifest row. Never re-target an existing dir (os.replace
+            # onto a non-empty dir raises, wedging the table) — skip
+            # forward past any on-disk snap-* ids instead; the orphan is
+            # simply dead data, reclaimable by expiry tooling.
+            on_disk = [int(m.group(1)) for d in os.listdir(path)
+                       if (m := re.match(r"snap-(\d+)$", d))]
+            snap_id = max([next_id - 1] + on_disk) + 1
             os.replace(stage, os.path.join(path, f"snap-{snap_id}"))
             manifest.append({
                 "snapshot_id": snap_id,

@@ -161,3 +161,24 @@ def test_pipeline_with_snapshot_writer(spark, sf_dir, tmp_path):
                writer=w).run(pages)
     after = {p: len(w.history(os.path.join(out, p))) for p in before}
     assert after == before
+
+
+def test_orphan_snapshot_dir_is_skipped(spark, writer, tmp_path):
+    """Crash recovery: a snap-N directory left by a writer killed between
+    rename and manifest append (orphan — on disk, not in the manifest)
+    must never wedge the table. The next commit skips past it and the
+    history stays linear."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    writer.write(_df(spark, [(0, "en", 0)]), t)          # snap-1
+    os.makedirs(os.path.join(t, "snap-2"))               # orphan
+    with open(os.path.join(t, "snap-2", "part-x.parquet"), "wb") as f:
+        f.write(b"dead")
+    sid = writer.write(_df(spark, [(1, "en", 1)]), t)    # must not raise
+    assert sid == 3                                      # skipped the orphan
+    hist = writer.history(t)
+    assert [e["snapshot_id"] for e in hist] == [1, 3]
+    assert [e["parent_id"] for e in hist] == [None, 1]
+    got = {r["doc_id"] for r in writer.read(t).collect()}
+    assert got == {1}                                    # orphan never read
