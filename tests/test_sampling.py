@@ -57,3 +57,33 @@ def test_pack_sequences_invariants(spark):
     assert a_ids == sorted(a_ids)
     # an over-budget doc (600) still advances the counter past its span
     assert by_part["b"][1]["seq_id"] == 1              # starts at offset 512
+
+
+def test_sampling_plan_shapes(spark, docs):
+    """Scale shape: the mix sample is a scan-local filter (NO exchange
+    anywhere in the plan); packing costs exactly ONE exchange — the
+    window's hash partitioning on the stratum column."""
+    import contextlib
+    import io
+    import re
+
+    from gitnexus_spark.functions.text import with_token_count
+    from gitnexus_spark.operators.sampling import (pack_sequences,
+                                                   stratified_sample)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    samp = stratified_sample(docs, "source", {"src0": 0.5}, id_col="doc_id")
+    p1 = plan_of(samp)
+    assert not re.search(r"^\(\d+\) Exchange", p1, re.M), p1
+
+    packed = pack_sequences(with_token_count(docs), "source", "doc_id",
+                            "n_tokens", budget=512)
+    p2 = plan_of(packed)
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p2, re.M))
+    assert n_ex == 1, p2
+    assert "hashpartitioning(source" in p2, p2
