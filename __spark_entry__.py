@@ -1125,6 +1125,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "token_estimate", "lang_pred", "quality")
 
 
+def _sql_text_exprs() -> dict:
+    """DuckDB renderings of the token-count and quality expressions —
+    shared by the text_stats and mix_report oracles (one definition,
+    both gates)."""
+    from gitnexus_spark.functions.text import STOPWORDS
+    w = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    all_stops = sorted({s for v in STOPWORDS.values() for s in v})
+    stops = "[" + ", ".join(repr(s) for s in all_stops) + "]"
+    n_words = f"len({w})"
+    length_score = f"least(CAST({n_words} AS DOUBLE) / 200.0, 1.0)"
+    stop_ratio = (f"CAST(len(list_filter({w}, x -> list_contains({stops}, x))) AS DOUBLE)"
+                  f" / greatest({n_words}, 1)")
+    stop_score = f"least(({stop_ratio}) * 4.0, 1.0)"
+    mean_wlen = (f"CAST(list_sum(list_transform({w}, x -> length(x))) AS DOUBLE)"
+                 f" / greatest({n_words}, 1)")
+    wlen_score = f"greatest(1.0 - abs(({mean_wlen}) - 5.5) / 5.5, 0.0)"
+    return {
+        "n_tokens": f"CASE WHEN trim(text) = '' THEN 0 ELSE {n_words} END",
+        "quality": (f"ROUND(0.4 * ({length_score}) + 0.3 * ({stop_score})"
+                    f" + 0.3 * ({wlen_score}), 6)"),
+    }
+
+
 def _sql_text_stats() -> str:
     from gitnexus_spark.functions.text import LANG_PRIORITY, STOPWORDS
     w = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
@@ -1145,12 +1168,13 @@ def _sql_text_stats() -> str:
     mean_wlen = (f"CAST(list_sum(list_transform({w}, x -> length(x))) AS DOUBLE)"
                  f" / greatest({n_words}, 1)")
     wlen_score = f"greatest(1.0 - abs(({mean_wlen}) - 5.5) / 5.5, 0.0)"
+    tx = _sql_text_exprs()
     return f"""SELECT doc_id,
-  CASE WHEN trim(text) = '' THEN 0 ELSE {n_words} END AS n_tokens,
+  {tx["n_tokens"]} AS n_tokens,
   CAST(ceil(length(text) / 4.0) AS BIGINT) AS token_estimate,
   CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) * 4 > length(text) THEN 'zh'
        WHEN {best} = 0 THEN 'und' ELSE {pick} END AS lang_pred,
-  ROUND(0.4 * ({length_score}) + 0.3 * ({stop_score}) + 0.3 * ({wlen_score}), 6) AS quality
+  {tx["quality"]} AS quality
 FROM documents"""
 
 
@@ -1226,6 +1250,33 @@ SELECT doc_id, source, n_tokens,
   CAST(FLOOR(bef / 512) AS BIGINT) AS seq_id,
   CAST(bef - CAST(FLOOR(bef / 512) AS BIGINT) * 512 AS BIGINT) AS seq_offset
 FROM c"""
+
+
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting: docs and tokens per (source, lang,
+    quality band) — the dashboard aggregate every corpus pipeline runs
+    before fixing sampling weights. Bands reuse the oracle-proven
+    6-dp-rounded quality score, so banding is engine-exact."""
+    from gitnexus_spark.functions.text import (with_quality_score,
+                                               with_token_count)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = with_quality_score(with_token_count(docs))
+    band = F.least(F.floor(F.col("quality") * 5), F.lit(4)).cast("long")
+    return (t.groupBy("source", "lang", band.alias("q_band"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens")))
+
+
+def _sql_mix_report() -> str:
+    tx = _sql_text_exprs()
+    return f"""WITH t AS (
+  SELECT source, lang, {tx["n_tokens"]} AS n_tokens, {tx["quality"]} AS quality
+  FROM documents)
+SELECT source, lang,
+  LEAST(CAST(FLOOR(quality * 5) AS BIGINT), 4) AS q_band,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+FROM t GROUP BY source, lang, q_band"""
 
 
 def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "mix_report": q_mix_report,
         "pq_search": q_pq_search,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -1828,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "mix_report": _sql_mix_report(),
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann_ivf": _sql_ann_ivf(),
         "similarity_ivf_at_rest": _sql_ann_ivf(),
