@@ -1079,6 +1079,37 @@ WHERE a.doc_id < b.doc_id"""
 SQL_DEDUP_MINHASH = None  # built lazily in oracle_sql() via _sql_minhash_pairs
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash pairs -> connected components -> one
+    keeper per cluster (every doc covered; singletons self-clustered).
+    Puts the components operator itself under the driver oracle gate —
+    the DuckDB side recomputes reachability with a recursive CTE."""
+    from gitnexus_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_clusters(docs, num_hashes=16, bands=8)
+
+
+def _sql_dedup_clusters() -> str:
+    # min-label propagation: every vertex accumulates the labels of all
+    # vertices that reach it; min(label) == component representative.
+    # UNION (not UNION ALL) dedups rows so the recursion terminates.
+    return f"""WITH RECURSIVE pairs AS ({_sql_minhash_pairs()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+lbl(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, l.comp FROM lbl l JOIN edges e ON e.src = l.id),
+cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+       CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+FROM cc JOIN sz USING (cluster_id)"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gitnexus_spark.operators.dedup import simhash_hex
 
@@ -1813,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": q_json_extract_events,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1874,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_events": SQL_JSON_EXTRACT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_pairs": _sql_minhash_pairs(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
         "text_stats": _sql_text_stats(),

@@ -37,13 +37,22 @@ from pyspark.sql import functions as F
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   out_col: str = "shingles") -> DataFrame:
-    """Word n-gram shingle set (distinct, order-normalized whitespace)."""
+    """Word n-gram shingle set (distinct, order-normalized whitespace).
+
+    The word array is materialized as a column FIRST: referencing the
+    split(...) expression inside the position lambda would re-tokenize the
+    whole document once per shingle position (O(words^2) regexp work per
+    doc — ruinous on long web pages); an attribute reference is evaluated
+    once per row.
+    """
     words = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
     expr = (
-        f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({words}, i, {n}))))"
+        f"array_distinct(transform(sequence(1, greatest(size(_sh_words) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(_sh_words, i, {n}))))"
     )
-    return df.withColumn(out_col, F.expr(expr))
+    return (df.withColumn("_sh_words", F.expr(words))
+            .withColumn(out_col, F.expr(expr))
+            .drop("_sh_words"))
 
 
 # sql fragment for the DuckDB oracle (same shingle set)
@@ -145,12 +154,76 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band", "band_hash"),
     )
+    # persist the narrow (id, band, band_hash) table: both sides of the
+    # self-join read it, and without the pin the whole shingle+signature
+    # scan runs twice (exchange reuse is not guaranteed across the two
+    # projections). ~(8+1+32)B x bands rows — tiny next to the corpus.
+    banded = banded.persist()
     other = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
         banded.join(other, ["band", "band_hash"])
         .filter(F.col("id") < F.col("id_b"))
         .select(F.col("id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering (pairs -> connected components -> one keeper/cluster)
+# --------------------------------------------------------------------------
+
+def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Full near-duplicate clustering: MinHash-LSH candidate pairs ->
+    connected components -> one deterministic keeper per cluster.
+
+    Returns (id_col, cluster_id, cluster_size, is_keeper) covering EVERY
+    input doc (singletons are their own cluster). cluster_id = numeric min
+    doc id in the component; is_keeper marks it. This is the standard
+    corpus-dedup shape: ``filter(is_keeper == 1)`` keeps exactly one
+    representative per duplicate cluster. (The reference's analogue is
+    set-based first-writer-wins, shared-utils.ts:131 — per-cluster-min is
+    its deterministic distributed generalization.)
+
+    Scale notes: the pair graph is near-dup-scale (<< corpus); components
+    run on it via the hybrid union-find / large-star-small-star operator.
+    The component map is joined back to the corpus on the id (dimension
+    join — AQE broadcasts it when small); cluster sizes are one groupBy on
+    cluster_id (mostly-unique key, no skew unless one cluster dominates —
+    at that point the corpus has a degenerate template and the cluster
+    list itself is the finding).
+
+    Ids must be non-negative integers (zero-padded to survive the
+    components operator's string-min contract, then cast back).
+    """
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
+                              shingle_n)
+    # components uses string vertex ids with a string-min representative;
+    # zero-pad so string order == numeric order, then cast back.
+    pad = 20
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), pad, "0").alias("dst"),
+    )
+    id_type = dict(df.dtypes)[id_col]
+    comp = connected_components(edges).select(
+        F.col("vertex").cast(id_type).alias(id_col),
+        F.col("component").cast(id_type).alias("cluster_id"),
+    )
+    out = (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        out.join(sizes, "cluster_id")
+        .select(id_col, "cluster_id", "cluster_size",
+                (F.col(id_col) == F.col("cluster_id")).cast("int")
+                .alias("is_keeper"))
     )
 
 
@@ -174,8 +247,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n) \
         .select(F.col(id_col).alias("id"), "shingles")
-    ex = sh.select("id", F.explode("shingles").alias("sh"))
+    # the exploded posting list feeds FOUR consumers (hot-shingle census,
+    # per-doc sizes, and both sides of the pair join) — pin it once so the
+    # shingling scan runs once, not four times.
+    ex = sh.select("id", F.explode("shingles").alias("sh")).persist()
     hot = ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+    # hot is tiny by construction (shingles with df > max_shingle_df), so
+    # the anti-join broadcasts; re-evaluating it per consumer is cheap.
     ex = ex.join(hot.select("sh"), "sh", "left_anti")
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     ex = ex.join(sizes, "id")
@@ -259,6 +337,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band", "seg_key"),
     )
+    banded = banded.persist()  # same double-scan pin as minhash_lsh_pairs
     other = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
                           "band", "seg_key")
     cand = (

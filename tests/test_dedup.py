@@ -87,3 +87,28 @@ def test_simhash_band_pigeonhole(docs):
     got = {(r["id_a"], r["id_b"], r["hamming"])
            for r in simhash_pairs(docs, max_hamming=3, bands=4).collect()}
     assert got == brute
+
+
+def test_near_dup_clusters(spark):
+    from gitnexus_spark.operators.dedup import near_dup_clusters
+
+    # ids 99/100 share a cluster: the keeper must be the NUMERIC min (99),
+    # which catches any string-min leak from the components operator
+    # ("100" < "99" lexicographically).
+    rows = [
+        (99, "the quick brown fox jumps over the lazy dog"),
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy cat"),
+        (7, "completely different text about spark and data"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           near_dup_clusters(docs, num_hashes=16, bands=8).collect()}
+    assert set(got) == {7, 99, 100, 101}           # every doc covered
+    assert got[99]["cluster_id"] == 99 and got[99]["is_keeper"] == 1
+    assert got[100]["cluster_id"] == 99 and got[100]["is_keeper"] == 0
+    assert got[100]["cluster_size"] == got[99]["cluster_size"]
+    assert got[7]["cluster_id"] == 7 and got[7]["cluster_size"] == 1
+    # exactly one keeper per cluster
+    keepers = [r for r in got.values() if r["is_keeper"] == 1]
+    assert len(keepers) == len({r["cluster_id"] for r in got.values()})
