@@ -1110,6 +1110,31 @@ SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
 FROM cc JOIN sz USING (cluster_id)"""
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: docs sharing a 4-gram with the held-out
+    eval slice (doc_id % 20 == 0) are flagged; the oracle recomputes the
+    exact gram join in SQL."""
+    from gitnexus_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(train, eval_df, shingle_n=4, min_hits=1)
+
+
+def _sql_decontaminate() -> str:
+    return f"""WITH sh AS (
+  SELECT doc_id, {_sql_shingles(n=4)} AS shingles FROM documents),
+ev AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, unnest(shingles) AS gram FROM sh WHERE doc_id % 20 <> 0),
+hits AS (SELECT doc_id, count(*) AS eval_hits FROM tr JOIN ev USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.eval_hits, 0) AS BIGINT) AS eval_hits,
+       CAST(CASE WHEN COALESCE(h.eval_hits, 0) >= 1 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits h USING (doc_id)"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gitnexus_spark.operators.dedup import simhash_hex
 
@@ -1845,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1907,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_pairs": _sql_minhash_pairs(),
         "dedup_clusters": _sql_dedup_clusters(),
+        "decontaminate": _sql_decontaminate(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
         "text_stats": _sql_text_stats(),

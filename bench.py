@@ -72,7 +72,8 @@ def main() -> None:
     heads = [
         "agg_pricing_summary", "top_customers", "window_top_orders",
         "interval_join", "events_sessionize", "dedup_exact",
-        "dedup_minhash_pairs", "dedup_clusters", "dedup_simhash", "text_stats",
+        "dedup_minhash_pairs", "dedup_clusters", "decontaminate",
+        "dedup_simhash", "text_stats",
         "similarity_topk", "similarity_ann_ivf",
         "stratified_sample", "pack_sequences",
     ]

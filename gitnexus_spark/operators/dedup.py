@@ -228,6 +228,63 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------------------
+# test-set decontamination (eval n-gram overlap)
+# --------------------------------------------------------------------------
+
+def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", eval_text_col: str | None = None,
+                  shingle_n: int = 4, min_hits: int = 1,
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Mark training documents that overlap an evaluation set.
+
+    The standard pre-training hygiene step: a training doc is
+    contaminated when it contains >= ``min_hits`` distinct word n-grams
+    that also occur anywhere in ``eval_df`` (production pipelines use
+    n=13; the default here is sized to the synthetic corpus). Returns
+    one row per input doc: (id_col, eval_hits, contaminated) —
+    ``filter(contaminated == 0)`` is the cleaned corpus.
+
+    Matching is EXACT (an n-gram join), not probabilistic: no false
+    positives/negatives, and the whole computation is SQL-expressible
+    for the oracle.
+
+    Scale notes (100 TB posture): the eval side is benchmark-scale
+    (thousands of docs -> ~1e6-1e7 distinct grams), so its distinct-gram
+    set is broadcast and the training corpus is filtered scan-side
+    before the only shuffle (the per-doc hit count, partial-agg'd
+    map-side). For an eval set too large to broadcast, pass
+    ``broadcast_eval=False`` to fall back to a gram-keyed shuffle join
+    (grams are near-uniform keys; no skew). The per-doc gram explode is
+    never materialized at rest — it flows straight into the join.
+    """
+    ev_text = eval_text_col or text_col
+    ev = (
+        with_shingles(eval_df.select(ev_text), ev_text, shingle_n)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = (
+        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+        .select(id_col, F.explode("shingles").alias("gram"))
+    )
+    # shingles are distinct per doc, so count(*) == distinct-gram hits
+    hits = tr.join(ev, "gram").groupBy(id_col).agg(
+        F.count("*").alias("eval_hits"))
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("eval_hits", F.lit(0)).alias("eval_hits"),
+            (F.coalesce("eval_hits", F.lit(0)) >= min_hits).cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard (exact verification / standalone near-dup)
 # --------------------------------------------------------------------------
 

@@ -112,3 +112,49 @@ def test_near_dup_clusters(spark):
     # exactly one keeper per cluster
     keepers = [r for r in got.values() if r["is_keeper"] == 1]
     assert len(keepers) == len({r["cluster_id"] for r in got.values()})
+
+
+def test_decontaminate(spark):
+    from gitnexus_spark.operators.dedup import decontaminate
+
+    eval_rows = [(1000, "alpha beta gamma delta epsilon")]
+    train_rows = [
+        # contains the eval 4-gram "alpha beta gamma delta" -> contaminated
+        (1, "prefix alpha beta gamma delta suffix words here"),
+        # shares words but no 4-gram run -> clean
+        (2, "alpha beta x gamma delta epsilon y"),
+        # disjoint vocabulary -> clean, eval_hits 0
+        (3, "totally unrelated text about spark jobs"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           decontaminate(train, ev, shingle_n=4).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["contaminated"] == 1 and got[1]["eval_hits"] >= 1
+    assert got[2]["contaminated"] == 0 and got[2]["eval_hits"] == 0
+    assert got[3]["contaminated"] == 0 and got[3]["eval_hits"] == 0
+    # shuffle-join fallback produces the identical result
+    got2 = {r["doc_id"]: r["contaminated"] for r in
+            decontaminate(train, ev, shingle_n=4,
+                          broadcast_eval=False).collect()}
+    assert got2 == {k: v["contaminated"] for k, v in got.items()}
+    # plan shapes: default broadcasts the eval gram set; the fallback
+    # must not force a broadcast of a too-large eval side
+    import contextlib
+    import io
+
+    def _plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert "BroadcastHashJoin" in _plan(decontaminate(train, ev, shingle_n=4))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fb = _plan(decontaminate(train, ev, shingle_n=4,
+                                 broadcast_eval=False))
+        assert "BroadcastHashJoin" not in fb, fb
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
