@@ -727,6 +727,35 @@ WHERE d.lang IN ('en','de','es','fr') AND s.n_tokens >= 30
   AND length(string_split(d.text, chr(10))[1]) <= 500"""
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line fraction + modal-bigram
+    share) — the quality gate that catches template/spam pages."""
+    from gitnexus_spark.functions.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, gram_n=2)
+
+
+def _sql_repetition_stats() -> str:
+    w = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    lines = ("list_filter(list_transform(string_split(text, chr(10)), "
+             "x -> trim(x)), x -> x <> '')")
+    return f"""WITH w AS (SELECT doc_id, {w} AS words, {lines} AS lines FROM documents),
+ex AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(words) - 1, 1)),
+    i -> array_to_string(words[i:i+1], ' '))) AS gram
+  FROM w),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram),
+agg AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM cnt GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.words) AS INTEGER) AS n_words,
+       round(1.0 - CAST(len(list_distinct(w.lines)) AS DOUBLE)
+             / greatest(len(w.lines), 1), 6) AS dup_line_frac,
+       COALESCE(round(CAST(agg.topc AS DOUBLE) / agg.tot, 6), 0.0) AS top_gram_frac
+FROM w LEFT JOIN agg USING (doc_id)"""
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures themselves (hashed to one string per doc)."""
     from gitnexus_spark.operators.dedup import minhash_signature
@@ -1874,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
         "fingerprint": q_fingerprint,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -1937,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
         "text_stats": _sql_text_stats(),
+        "repetition_stats": _sql_repetition_stats(),
         "fingerprint": SQL_FINGERPRINT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "pack_sequences": SQL_PACK_SEQUENCES,

@@ -111,3 +111,63 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
         out_col,
         F.expr(f"slice(array_sort(transform(shingles, s -> md5(s))), 1, {k})"),
     ).drop("shingles")
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", gram_n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``dup_line_frac``: 1 - distinct/total over non-empty trimmed lines
+      (template/boilerplate pages repeat nav lines). Scan-local — pure
+      array expressions, no shuffle.
+    - ``top_gram_frac``: share of the document's word ``gram_n``-grams
+      taken by its single most frequent gram (auto-generated / spammy
+      pages loop one phrase). Computed distributed: explode ->
+      partial-agg'd groupBy(id, gram) -> per-doc max — linear in corpus
+      size, never O(words^2) per doc, so a 100 MB pathological page
+      cannot stall an executor the way a per-doc nested-loop mode
+      computation would.
+
+    Output: (id_col, n_words, dup_line_frac, top_gram_frac), one row per
+    input doc. Filter high values of either to drop repetitive docs
+    (Gopher Rule-of-thumb thresholds: dup_line_frac > 0.30,
+    top_2gram_frac > 0.20).
+    """
+    words = _words(text_col)
+    lines = (
+        f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), "
+        f"x -> x != '')"
+    )
+    dup_line = (
+        f"round(1.0 - cast(size(array_distinct({lines})) as double) "
+        f"/ greatest(size({lines}), 1), 6)"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"size({words})").alias("n_words"),
+        F.expr(dup_line).alias("dup_line_frac"),
+        F.expr(words).alias("_w"),
+    )
+    grams = base.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(size(_w) - {gram_n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice(_w, i, {gram_n})))"
+        )).alias("gram"),
+    )
+    per_doc = (
+        grams.groupBy(id_col, "gram").count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top"), F.sum("count").alias("_tot"))
+        .select(
+            id_col,
+            F.round(F.col("_top").cast("double") / F.col("_tot"), 6)
+            .alias("top_gram_frac"),
+        )
+    )
+    return (
+        base.drop("_w")
+        .join(per_doc, id_col, "left")
+        .select(id_col, "n_words", "dup_line_frac",
+                F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"))
+    )

@@ -65,3 +65,23 @@ def test_fingerprint_stable_and_discriminative(spark):
     assert got[1] == got[2]
     assert got[1] != got[3]
     assert len(got[1]) <= 8
+
+
+def test_repetition_stats(spark):
+    from gitnexus_spark.functions.text import repetition_stats
+
+    rows = [
+        # 4 lines, one duplicated ("nav bar") -> dup_line_frac = 1 - 3/4
+        (1, "nav bar\nreal content here\nnav bar\nfooter text"),
+        # "spam spam spam spam" -> bigrams: 3x "spam spam" -> top 3/3
+        (2, "spam spam spam spam"),
+        # all-distinct words, no repeated line
+        (3, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_line_frac"] == 0.25
+    assert got[2]["top_gram_frac"] == 1.0
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["top_gram_frac"] == round(1.0 / 3.0, 6)
+    assert got[3]["n_words"] == 4
