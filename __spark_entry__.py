@@ -1164,6 +1164,73 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN hits h USING (doc_id)"""
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: quality -> repetition -> exact dedup ->
+    near-dup clustering -> decontamination as ONE decision table with
+    per-doc drop provenance. The oracle replays every staged gate in
+    SQL (including the survivor-induced near-dup subgraph)."""
+    from gitnexus_spark.operators.corpus_prep import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    return prepare_corpus(train, eval_df)
+
+
+def _sql_corpus_prep() -> str:
+    from gitnexus_spark.functions.text import STOPWORDS  # noqa: F401
+    tx = _sql_text_exprs()
+    return f"""WITH RECURSIVE
+q AS (SELECT doc_id, {tx["quality"]} AS quality FROM documents WHERE doc_id % 20 <> 0),
+rep AS (SELECT * FROM ({_sql_repetition_stats()}) WHERE doc_id % 20 <> 0),
+base AS (
+  SELECT q.doc_id, q.quality, rep.dup_line_frac, rep.top_gram_frac
+  FROM q JOIN rep USING (doc_id)),
+surv1 AS (
+  SELECT b.doc_id, d.text FROM base b JOIN documents d USING (doc_id)
+  WHERE b.quality >= 0.30 AND b.dup_line_frac <= 0.30 AND b.top_gram_frac <= 0.10),
+ex AS (
+  SELECT doc_id,
+         CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_exact_dup
+  FROM surv1),
+surv2 AS (SELECT doc_id FROM ex WHERE is_exact_dup = 0),
+pairs0 AS ({_sql_minhash_pairs()}),
+pairs AS (
+  SELECT p.id_a, p.id_b FROM pairs0 p
+  JOIN surv2 sa ON sa.doc_id = p.id_a
+  JOIN surv2 sb ON sb.doc_id = p.id_b),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+lbl(id, comp) AS (
+  SELECT doc_id, doc_id FROM surv2
+  UNION
+  SELECT e.dst, l.comp FROM lbl l JOIN edges e ON e.src = l.id),
+near AS (
+  SELECT id AS doc_id, CAST(id = min(comp) AS INT) AS is_keeper
+  FROM lbl GROUP BY id),
+dec AS ({_sql_decontaminate()})
+SELECT b.doc_id, b.quality, b.dup_line_frac, b.top_gram_frac,
+       CAST(COALESCE(dec.eval_hits, 0) AS BIGINT) AS eval_hits,
+       CAST(CASE WHEN b.quality < 0.30 THEN 0
+                 WHEN b.dup_line_frac > 0.30 OR b.top_gram_frac > 0.10 THEN 0
+                 WHEN ex.is_exact_dup = 1 THEN 0
+                 WHEN near.is_keeper = 0 THEN 0
+                 WHEN COALESCE(dec.eval_hits, 0) >= 1 THEN 0
+                 ELSE 1 END AS INT) AS kept,
+       CASE WHEN b.quality < 0.30 THEN 'low_quality'
+            WHEN b.dup_line_frac > 0.30 OR b.top_gram_frac > 0.10 THEN 'repetitive'
+            WHEN ex.is_exact_dup = 1 THEN 'exact_dup'
+            WHEN near.is_keeper = 0 THEN 'near_dup'
+            WHEN COALESCE(dec.eval_hits, 0) >= 1 THEN 'contaminated'
+       END AS drop_reason
+FROM base b
+LEFT JOIN ex USING (doc_id)
+LEFT JOIN near USING (doc_id)
+LEFT JOIN dec USING (doc_id)"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gitnexus_spark.operators.dedup import simhash_hex
 
@@ -1900,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        "corpus_prep": q_corpus_prep,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1964,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _sql_minhash_pairs(),
         "dedup_clusters": _sql_dedup_clusters(),
         "decontaminate": _sql_decontaminate(),
+        "corpus_prep": _sql_corpus_prep(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
         "text_stats": _sql_text_stats(),
