@@ -5,7 +5,9 @@ Web pages carry images/audio/video; the pipeline treats them as
 mapInPandas stages. The Spark-side plumbing here (schemas, batch shapes,
 partitioning, UDF signatures) is real and tested. Image DIMENSIONS are
 real for PNG/GIF/JPEG/PPM payloads via a stdlib header parser
-(`parse_image_header` — no codec library needed); full pixel decode and
+(`parse_image_header`) and audio METADATA (channels / sample rate /
+bit depth / duration) is real for WAV/FLAC/MP3 via `parse_audio_header`
+— no codec library needed for either. Full pixel/sample decode and
 other formats are stubbed behind an import-guard because image/audio
 libraries are not in this container, falling back to a deterministic fake
 derived from the byte content (so tests exercise the full distributed
@@ -119,6 +121,126 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
         if len(fields) == 2:
             return ("ppm", fields[0], fields[1])
     return None
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("url", StringType()),
+    StructField("byte_len", LongType()),
+    StructField("content_sha", StringType()),
+    StructField("format", StringType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits_per_sample", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+# MPEG1 Layer III tables (ISO 11172-3): bitrate kbps by index, sample rate
+_MP3_BITRATE = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320, 0)
+_MP3_RATE = (44100, 48000, 32000, 0)
+
+
+def parse_audio_header(b: bytes) -> tuple[str, int, int, int | None,
+                                          int | None] | None:
+    """Stdlib-only audio metadata: (format, channels, sample_rate_hz,
+    bits_per_sample|None, duration_ms|None) for real WAV / FLAC / MP3
+    payloads, None otherwise — the audio twin of `parse_image_header`.
+
+    - WAV: RIFF/WAVE chunk walk; the mandatory `fmt ` chunk carries
+      channels/rate/bits, the `data` chunk size over the byte rate gives
+      duration.
+    - FLAC: the STREAMINFO block is mandatory-first; sample rate (20
+      bits), channels-1 (3), bits-1 (5) and total samples (36) are one
+      big-endian u64 at block offset 10.
+    - MP3 (MPEG1 Layer III): first frame header after optional ID3v2;
+      duration is the CBR estimate from the frame bitrate — correct for
+      CBR files, approximate for VBR (declared).
+    """
+    import struct
+
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        fmt = None
+        data_size = None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(b):
+                _, ch, rate, byte_rate, _, bits = struct.unpack(
+                    "<HHIIHH", b[i + 8:i + 24])
+                fmt = (ch, rate, byte_rate, bits)
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or fmt[1] == 0:
+            return None
+        ch, rate, byte_rate, bits = fmt
+        dur = (data_size * 1000 // byte_rate
+               if data_size is not None and byte_rate else None)
+        return ("wav", ch, rate, bits, dur)
+    if len(b) >= 26 and b[:4] == b"fLaC":
+        if b[4] & 0x7F != 0:  # STREAMINFO must be the first block
+            return None
+        info = b[8:]  # past magic + block header
+        v = struct.unpack(">Q", info[10:18])[0]
+        rate = v >> 44
+        ch = ((v >> 41) & 0x7) + 1
+        bits = ((v >> 36) & 0x1F) + 1
+        total = v & ((1 << 36) - 1)
+        if rate == 0:
+            return None
+        dur = total * 1000 // rate if total else None
+        return ("flac", ch, rate, bits, dur)
+    i = 0
+    if len(b) >= 10 and b[:3] == b"ID3":  # skip ID3v2 (syncsafe size)
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | \
+            ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        i = 10 + size
+    if i + 4 <= len(b) and b[i] == 0xFF and b[i + 1] & 0xFE == 0xFA:
+        # sync + MPEG1 (0b11) + Layer III (0b01); protection bit free
+        br = _MP3_BITRATE[b[i + 2] >> 4]
+        rate = _MP3_RATE[(b[i + 2] >> 2) & 0x3]
+        ch = 1 if (b[i + 3] >> 6) == 0b11 else 2
+        if br == 0 or rate == 0:
+            return None
+        dur = (len(b) - i) * 8 // br  # bytes*8 / (kbps) == ms, CBR
+        return ("mp3", ch, rate, None, dur)
+    return None
+
+
+def probe_audio(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """assets(asset_id, url, payload:binary) -> AUDIO_META_SCHEMA via an
+    Arrow-batched mapInPandas pass. Unparseable payloads yield a row with
+    NULL format (observable skip, never a task failure) — the same
+    bad-record posture as the archive sources."""
+    import pandas as pd
+
+    src = assets.select("asset_id", "url", F.col(payload_col).alias("payload"))
+
+    def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for aid, url, payload in zip(pdf["asset_id"], pdf["url"],
+                                         pdf["payload"]):
+                if payload is None:
+                    rows.append((aid, url, 0, None, None, None, None, None,
+                                 None))
+                    continue
+                b = bytes(payload)
+                sha = hashlib.sha256(b).hexdigest()
+                hdr = parse_audio_header(b)
+                if hdr is None:
+                    rows.append((aid, url, len(b), sha, None, None, None,
+                                 None, None))
+                else:
+                    fmt, ch, rate, bits, dur = hdr
+                    rows.append((aid, url, len(b), sha, fmt, ch, rate, bits,
+                                 dur))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+
+    return src.mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, list[float]]:

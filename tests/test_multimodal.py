@@ -154,3 +154,71 @@ def test_resize_stub_contract(assets):
     out = resize_stub(decode_assets(assets), 224, 224)
     rows = out.filter("byte_len > 0").collect()
     assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+
+
+def _wav_bytes(rate=8000, ch=1, bits=16, n_frames=800):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_frames * ch * (bits // 8)))
+    return buf.getvalue()
+
+
+def _flac_bytes(rate=44100, ch=2, bits=16, total=44100):
+    import struct
+
+    v = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+    streaminfo = b"\x00" * 10 + struct.pack(">Q", v) + b"\x00" * 16
+    return b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo
+
+
+def _mp3_bytes(n_pad=4000, id3=False):
+    # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * n_pad
+    if id3:
+        tag = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10
+        return tag + frame
+    return frame
+
+
+def test_parse_audio_header_golden_bytes():
+    from gitnexus_spark.multimodal.binary_ops import parse_audio_header
+
+    # real WAV written by the stdlib encoder: 800 frames @ 8 kHz = 100 ms
+    assert parse_audio_header(_wav_bytes()) == ("wav", 1, 8000, 16, 100)
+    assert parse_audio_header(_wav_bytes(rate=44100, ch=2))[:3] == \
+        ("wav", 2, 44100)
+    assert parse_audio_header(_flac_bytes()) == ("flac", 2, 44100, 16, 1000)
+    fmt, ch, rate, bits, dur = parse_audio_header(_mp3_bytes())
+    assert (fmt, ch, rate, bits) == ("mp3", 2, 44100, None)
+    assert dur == (4000 + 4) * 8 // 128  # CBR estimate
+    # ID3v2 prefix is skipped, not mistaken for audio
+    assert parse_audio_header(_mp3_bytes(id3=True))[0] == "mp3"
+    # corrupt / truncated payloads are rejected, not crashed on
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert parse_audio_header(b"fLaC" + b"\x7f" + b"\x00" * 30) is None
+    assert parse_audio_header(b"\xff\xe0 not a frame") is None
+    assert parse_audio_header(b"") is None
+
+
+def test_probe_audio_distributed(spark):
+    from gitnexus_spark.multimodal.binary_ops import probe_audio
+
+    rows = [
+        ("a1", "u1", bytearray(_wav_bytes())),
+        ("a2", "u2", bytearray(_flac_bytes())),
+        ("a3", "u3", bytearray(b"junk payload")),
+        ("a4", "u4", None),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id string, url string, payload binary")
+    got = {r["asset_id"]: r for r in probe_audio(assets).collect()}
+    assert got["a1"]["format"] == "wav" and got["a1"]["duration_ms"] == 100
+    assert got["a2"]["sample_rate"] == 44100
+    # bad records are observable rows, not task failures
+    assert got["a3"]["format"] is None and got["a3"]["byte_len"] == 12
+    assert got["a4"]["content_sha"] is None
