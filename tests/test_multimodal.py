@@ -222,3 +222,31 @@ def test_probe_audio_distributed(spark):
     # bad records are observable rows, not task failures
     assert got["a3"]["format"] is None and got["a3"]["byte_len"] == 12
     assert got["a4"]["content_sha"] is None
+
+
+def test_header_parsers_never_crash_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gitnexus_spark.multimodal.binary_ops import (parse_audio_header,
+                                                      parse_image_header)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(b):
+        for parse in (parse_audio_header, parse_image_header):
+            out = parse(b)
+            assert out is None or isinstance(out, tuple)
+
+    run()
+    # prefix-mutated REAL payloads (the adversarial case: valid magic,
+    # garbage body) must also never raise
+    wav = _wav_bytes()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(wav) - 1), st.binary(min_size=1, max_size=8))
+    def run2(pos, junk):
+        mutated = wav[:pos] + junk + wav[pos + len(junk):]
+        parse_audio_header(mutated)
+
+    run2()
