@@ -61,14 +61,20 @@ def main() -> None:
         eval_df = spark.read.parquet(args.eval)
 
     t0 = time.time()
-    decisions = prepare_corpus(
-        docs, eval_df, min_quality=args.min_quality,
-        max_top_gram=args.max_top_gram)
-    decisions.write.mode("overwrite").parquet(f"{args.output}/decisions")
+    # idempotent resume, same discipline as the KG pipeline: a committed
+    # stage (parquet _SUCCESS) is read back, not recomputed
+    dec_path = f"{args.output}/decisions"
+    if not os.path.exists(os.path.join(dec_path, "_SUCCESS")):
+        prepare_corpus(
+            docs, eval_df, min_quality=args.min_quality,
+            max_top_gram=args.max_top_gram,
+        ).write.mode("overwrite").parquet(dec_path)
 
-    dec = spark.read.parquet(f"{args.output}/decisions")  # at-rest reuse
-    (docs.join(dec.filter("kept = 1").select("doc_id"), "doc_id")
-         .write.mode("overwrite").parquet(f"{args.output}/corpus"))
+    dec = spark.read.parquet(dec_path)  # at-rest reuse
+    corpus_path = f"{args.output}/corpus"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        (docs.join(dec.filter("kept = 1").select("doc_id"), "doc_id")
+             .write.mode("overwrite").parquet(corpus_path))
 
     losses = {r["drop_reason"] or "kept": r["n"]
               for r in dec.groupBy("drop_reason")
