@@ -1,0 +1,121 @@
+"""AST node types for the Cypher subset.
+
+Shapes mirror what the reference's generator emits and its validator
+accepts (src/ai/cypher-generator.ts:36-104, 255-300): single-MATCH
+queries over node/relationship patterns with optional property maps,
+variable-length relationships ``*m..n``, WHERE boolean expressions
+(comparisons, CONTAINS / STARTS WITH / ENDS WITH, IS [NOT] NULL,
+EXISTS((a)-[:T]->(b))), and RETURN lists with Cypher's implicit
+grouping, DISTINCT, ORDER BY, SKIP and LIMIT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class NodePat:
+    var: str | None
+    label: str | None = None
+    props: dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class RelPat:
+    rtype: str | None          # None = any type
+    direction: str             # 'out' = ->, 'in' = <-
+    var: str | None = None
+    min_hops: int | None = None  # None,None = plain single hop
+    max_hops: int | None = None
+
+
+@dataclass
+class Pattern:
+    """Alternating [NodePat, RelPat, NodePat, ...] (odd length >= 1)."""
+    elements: list
+
+
+# --- WHERE expressions ----------------------------------------------------
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Prop:
+    var: str
+    key: str
+
+
+@dataclass
+class VarRef:
+    var: str
+
+
+@dataclass
+class Cmp:
+    op: str                    # = <> < <= > >=
+    left: object
+    right: object
+
+
+@dataclass
+class StrPred:
+    op: str                    # contains | starts | ends
+    left: object
+    right: object
+
+
+@dataclass
+class IsNull:
+    expr: object
+    negated: bool = False
+
+
+@dataclass
+class ExistsPat:
+    pattern: Pattern
+    negated: bool = False
+
+
+@dataclass
+class BoolOp:
+    op: str                    # and | or
+    operands: list
+
+
+@dataclass
+class Not:
+    operand: object
+
+
+# --- RETURN ---------------------------------------------------------------
+
+AGG_FNS = ("count", "collect", "sum", "avg", "min", "max")
+
+
+@dataclass
+class ReturnItem:
+    expr: object               # Prop | VarRef | Lit | '*' (count star marker)
+    agg: str | None = None     # one of AGG_FNS
+    agg_distinct: bool = False
+    alias: str | None = None
+
+
+@dataclass
+class OrderItem:
+    expr: object               # Prop | VarRef | str (output-column alias)
+    asc: bool = True
+
+
+@dataclass
+class Query:
+    patterns: list             # list[Pattern]
+    where: object | None
+    distinct: bool
+    items: list                # list[ReturnItem]
+    order_by: list             # list[OrderItem]
+    skip: int | None
+    limit: int | None
