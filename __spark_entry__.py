@@ -1911,6 +1911,88 @@ FROM documents t FULL OUTER JOIN upd s ON t.doc_id = s.doc_id"""
 
 
 # --------------------------------------------------------------------------
+# Cypher front-end queries (reference query surface, cypher-generator.ts:36-104)
+# --------------------------------------------------------------------------
+
+def q_kg_cypher_top_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher-compiled aggregate over a pattern join — the reference's
+    own 'most mentioned' shape (cypher-generator.ts:84-88) retargeted:
+    goes through parse -> compile, not hand-built DataFrame ops, so the
+    whole front-end sits under the driver oracle gate."""
+    from gitnexus_spark.cypher import cypher_query
+
+    out = _run_full_pipeline(spark, sf_dir)
+    return cypher_query(
+        out["nodes"], out["edges"],
+        "MATCH (p:Page)-[:MENTIONS]->(e:Entity) "
+        "RETURN e.name AS name, COUNT(p) AS n_mentions "
+        "ORDER BY n_mentions DESC, name ASC LIMIT 10",
+        auto_limit=None)
+
+
+def q_kg_cypher_acquired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher property map + WHERE CONTAINS over typed entity-entity
+    edges (the generator's inheritance/filter shapes, :48,68-76)."""
+    from gitnexus_spark.cypher import cypher_query
+
+    out = _run_full_pipeline(spark, sf_dir)
+    return cypher_query(
+        out["nodes"], out["edges"],
+        "MATCH (e:Entity)-[:ACQUIRED]->(t:Entity {name: 'E13'}) "
+        "WHERE e.name CONTAINS '1' "
+        "RETURN e.name AS src_name ORDER BY src_name",
+        auto_limit=None)
+
+
+SQL_KG_CYPHER_ACQUIRED = """WITH pred_edges AS (
+  SELECT DISTINCT pred, k1, k2 FROM (
+    SELECT upper(['founded','acquired','endorsed','criticized','visited'][(doc_id % 5) + 1]) AS pred,
+           doc_id % 97 AS k1, (doc_id*7+13) % 97 AS k2
+    FROM documents
+    UNION ALL
+    SELECT 'ACQUIRED', doc_id % 97, (doc_id*7+13) % 97 FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'ACQUIRED', doc_id % 97, (doc_id*31+5) % 97 FROM documents WHERE doc_id % 3 = 0))
+SELECT 'E' || CAST(k1 AS VARCHAR) AS src_name
+FROM pred_edges
+WHERE pred = 'ACQUIRED' AND k2 = 13
+  AND ('E' || CAST(k1 AS VARCHAR)) LIKE '%1%'
+ORDER BY src_name"""
+
+
+def q_kg_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher variable-length match *1..2 with per-path multiplicity
+    (generator shapes :72,80,104), anchored on the page of doc 0 via a
+    WHERE suffix predicate."""
+    from gitnexus_spark.cypher import cypher_query
+
+    out = _run_full_pipeline(spark, sf_dir)
+    return cypher_query(
+        out["nodes"], out["edges"],
+        "MATCH (a:Page)-[:LINKS_TO*1..2]->(b:Page) "
+        "WHERE a.url ENDS WITH '/p0.html' "
+        "RETURN b.url AS url, COUNT(*) AS n_paths ORDER BY url",
+        auto_limit=None)
+
+
+# Path arithmetic: LINKS_TO targets of doc d are (d*3+1)%n and (d*11+7)%n,
+# edge-set deduplicated; node-distinct paths from doc 0 at lengths 1-2.
+SQL_KG_CYPHER_VARLEN = f"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+l1 AS (SELECT DISTINCT t FROM (
+    SELECT (0*3+1) % n.n AS t FROM n
+    UNION ALL SELECT (0*11+7) % n.n FROM n) WHERE t <> 0),
+l2 AS (SELECT mid, u FROM (
+    SELECT t AS mid, (t*3+1) % n.n AS u FROM l1, n
+    UNION
+    SELECT t AS mid, (t*11+7) % n.n AS u FROM l1, n)
+  WHERE u <> 0 AND u <> mid),
+dests AS (SELECT t AS doc_id FROM l1 UNION ALL SELECT u FROM l2)
+SELECT {SQL_URL} AS url, COUNT(*) AS n_paths
+FROM dests JOIN documents USING (doc_id)
+GROUP BY url ORDER BY url"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -1939,6 +2021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_search_nodes": q_kg_search_nodes,
         "kg_fuzzy_locality": q_kg_fuzzy_locality,
+        "kg_cypher_top_mentions": q_kg_cypher_top_mentions,
+        "kg_cypher_acquired": q_kg_cypher_acquired,
+        "kg_cypher_varlen": q_kg_cypher_varlen,
         "archive_pages": q_archive_pages,
         "embedding_near_dup": q_embedding_near_dup,
         "kg_span_attribution": q_kg_span_attribution,
@@ -1996,6 +2081,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_links": SQL_KG_LINKS,
         "kg_edge_counts": SQL_KG_EDGE_COUNTS,
         "kg_top_entities": SQL_KG_TOP_ENTITIES,
+        "kg_cypher_top_mentions": SQL_KG_TOP_ENTITIES,
+        "kg_cypher_acquired": SQL_KG_CYPHER_ACQUIRED,
+        "kg_cypher_varlen": SQL_KG_CYPHER_VARLEN,
         "kg_two_hop": SQL_KG_TWO_HOP,
         "kg_two_hop_bucketed": SQL_KG_TWO_HOP,
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,

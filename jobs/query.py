@@ -4,12 +4,16 @@ knowledge-graph warehouse.
 The reference exposes its graph through a query box (regex-Cypher /
 Kuzu Cypher, query-engine.ts:46-132); here the equivalent surface is
 ANSI SQL over the `nodes` / `edges` views of a pipeline output
-directory, with the same auto-LIMIT guardrail the reference applies to
-unbounded statements (query-optimization.ts:412-422).
+directory — or the Cypher subset via --cypher (gitnexus_spark.cypher) —
+with the same auto-LIMIT guardrail the reference applies to unbounded
+statements (query-optimization.ts:412-422).
 
     spark-submit --py-files gitnexus_spark.zip jobs/query.py \
         --warehouse /path/to/kg_out \
         --sql "SELECT label, COUNT(*) n FROM nodes GROUP BY label"
+
+    python jobs/query.py --warehouse /tmp/kg_job --cypher \
+        "MATCH (p:Page)-[:MENTIONS]->(e:Entity) RETURN e.name, COUNT(p) AS n"
 
 Local smoke:
 
@@ -35,7 +39,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True,
                     help="pipeline --output dir (contains nodes/, edges/)")
-    ap.add_argument("--sql", required=True, help="ANSI SQL over nodes/edges")
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--sql", help="ANSI SQL over nodes/edges")
+    g.add_argument("--cypher", help="Cypher-subset query over the graph")
     ap.add_argument("--auto-limit", type=int, default=1000,
                     help="LIMIT appended to statements that have none")
     ap.add_argument("--json", action="store_true",
@@ -51,7 +57,13 @@ def main() -> None:
     nodes = spark.read.parquet(os.path.join(args.warehouse, "nodes"))
     edges = spark.read.parquet(os.path.join(args.warehouse, "edges"))
     register_views(nodes, edges)
-    df = guarded_sql(spark, args.sql, auto_limit=args.auto_limit)
+    if args.cypher:
+        from gitnexus_spark.cypher import cypher_query
+
+        df = cypher_query(nodes, edges, args.cypher,
+                          auto_limit=args.auto_limit)
+    else:
+        df = guarded_sql(spark, args.sql, auto_limit=args.auto_limit)
     cols = df.columns
     if args.json:
         for row in df.toLocalIterator():
