@@ -1910,6 +1910,31 @@ SELECT COALESCE(s.doc_id, t.doc_id) AS doc_id,
 FROM documents t FULL OUTER JOIN upd s ON t.doc_id = s.doc_id"""
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the undirected LINKS_TO page graph
+    (degree-oriented compact-forward; operators/graph_queries.py)."""
+    from gitnexus_spark.operators.graph_queries import count_triangles
+
+    out = _run_full_pipeline(spark, sf_dir)
+    return count_triangles(out["edges"], rel_types=["LINKS_TO"])
+
+
+# Undirected simple graph from the link arithmetic d -> (3d+1)%n, (11d+7)%n;
+# canonical (u<v) edges, then one join chain counts each triangle once.
+SQL_KG_TRIANGLES = """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT d.doc_id AS a, (d.doc_id*3 + 1) % n.n AS b FROM documents d, n
+    UNION ALL
+    SELECT d.doc_id, (d.doc_id*11 + 7) % n.n FROM documents d, n)),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0 WHERE a <> b)
+SELECT COUNT(*) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.u = e1.v
+JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v"""
+
+
 # --------------------------------------------------------------------------
 # Cypher front-end queries (reference query surface, cypher-generator.ts:36-104)
 # --------------------------------------------------------------------------
@@ -2021,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_search_nodes": q_kg_search_nodes,
         "kg_fuzzy_locality": q_kg_fuzzy_locality,
+        "kg_triangles": q_kg_triangles,
         "kg_cypher_top_mentions": q_kg_cypher_top_mentions,
         "kg_cypher_acquired": q_kg_cypher_acquired,
         "kg_cypher_varlen": q_kg_cypher_varlen,
@@ -2081,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_links": SQL_KG_LINKS,
         "kg_edge_counts": SQL_KG_EDGE_COUNTS,
         "kg_top_entities": SQL_KG_TOP_ENTITIES,
+        "kg_triangles": SQL_KG_TRIANGLES,
         "kg_cypher_top_mentions": SQL_KG_TOP_ENTITIES,
         "kg_cypher_acquired": SQL_KG_CYPHER_ACQUIRED,
         "kg_cypher_varlen": SQL_KG_CYPHER_VARLEN,

@@ -334,6 +334,62 @@ def top_entities_by_mentions(nodes: DataFrame, edges: DataFrame, k: int = 10) ->
     )
 
 
+def count_triangles(edges: DataFrame,
+                    rel_types: list[str] | None = None) -> DataFrame:
+    """Global triangle count over the undirected simple graph induced by
+    the edge table — 1-row DataFrame (n_triangles).
+
+    Graph-structure analytics over the same two-table model as
+    node_degree / pagerank (the reference's degree surface,
+    query-engine.ts:448-478, iterated one step further).
+
+    Scale shape — compact-forward with DEGREE ORIENTATION: every
+    undirected edge is oriented from the endpoint with the smaller
+    (degree, id) key to the larger, so each triangle is counted exactly
+    once from its lowest-degree apex and per-vertex out-degree is
+    O(sqrt(m)) on any graph. The wedge join (the quadratic step) then
+    generates sum(outdeg^2) ~ m^1.5 candidates worst-case instead of
+    sum(deg^2), which on a power-law web graph is the difference between
+    a feasible shuffle and a hub explosion. Three shuffles total: degree
+    agg, wedge self-join, closing-edge semi-join.
+    """
+    e = edges
+    if rel_types:
+        e = e.filter(F.col("type").isin(rel_types))
+    und = (
+        e.select(F.least("src", "dst").alias("u"),
+                 F.greatest("src", "dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("deg"))
+    )
+    # orientation key: (deg, id) — total order, ties broken by id
+    du = deg.select(F.col("id").alias("u"),
+                    F.struct(F.col("deg"), F.col("id")).alias("ku"))
+    dv = deg.select(F.col("id").alias("v"),
+                    F.struct(F.col("deg"), F.col("id")).alias("kv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("khi"),
+    ).persist()
+    a = oriented.select(F.col("lo"), F.col("hi").alias("x"), F.col("khi").alias("kx"))
+    b = oriented.select(F.col("lo"), F.col("hi").alias("y"), F.col("khi").alias("ky"))
+    wedges = a.join(b, "lo").filter(F.col("kx") < F.col("ky")) \
+        .select(F.col("x").alias("lo"), F.col("y").alias("hi"))
+    closed = wedges.join(oriented.select("lo", "hi"), ["lo", "hi"], "inner")
+    out = closed.agg(F.count("*").alias("n_triangles"))
+    n = out.collect()[0][0]
+    oriented.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame([(n,)], "n_triangles bigint")
+
+
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
              damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank over the (nodes, edges) two-table graph.

@@ -277,3 +277,35 @@ def test_query_cli_over_warehouse(spark, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     data_lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("n")]
     assert data_lines == ["n1"]  # guardrail LIMIT 1 applied
+
+
+def test_count_triangles_known_graph(spark):
+    from gitnexus_spark.operators.graph_queries import count_triangles
+
+    # K4 on {a,b,c,d} = 4 triangles; pendant edge and a duplicate /
+    # reversed / self-loop edge must not change the count
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("c", "b"), ("d", "d"), ("d", "e")],
+        "src string, dst string").withColumn("type", F.lit("LINKS_TO"))
+    assert count_triangles(e).collect()[0][0] == 4
+
+
+def test_count_triangles_matches_bruteforce(spark):
+    from itertools import combinations
+    import random
+
+    from gitnexus_spark.operators.graph_queries import count_triangles
+
+    rnd = random.Random(7)
+    edges = {(min(a, b), max(a, b))
+             for a, b in (sorted(rnd.sample(range(30), 2)) for _ in range(120))}
+    df = spark.createDataFrame([(f"n{a}", f"n{b}") for a, b in edges],
+                               "src string, dst string")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = sum(1 for x, y, z in combinations(sorted(adj), 3)
+                   if y in adj[x] and z in adj[x] and z in adj[y])
+    assert count_triangles(df).collect()[0][0] == expected
