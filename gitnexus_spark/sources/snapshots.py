@@ -245,6 +245,79 @@ class SnapshotWriter:
             _commit(path, manifest)
         return expired
 
+    # -- maintenance --------------------------------------------------------
+    def file_stats(self, path: str, snapshot_id: int | None = None) -> dict:
+        """(n_files, bytes) of a snapshot's data — the compaction
+        trigger metric. Driver-side metadata walk, like reading an
+        Iceberg manifest list; never touches row data."""
+        e = self._resolve(path, snapshot_id)
+        n = b = 0
+        for root, _dirs, files in os.walk(os.path.join(path, e["dir"])):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, fn))
+        return {"n_files": n, "bytes": b, "snapshot_id": e["snapshot_id"]}
+
+    def compact(self, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+                tag: str | None = None) -> int:
+        """Bin-pack the current snapshot into right-sized files and
+        commit the rewrite as a new snapshot (Iceberg's
+        rewrite_data_files). Streaming re-ingest commits a snapshot per
+        micro-batch, each a sliver of parquet — at 10^12 rows that's
+        scan-killing file-count metadata pressure; periodic compaction
+        is what keeps the read path one healthy scan.
+
+        The rewrite is a repartition to ceil(bytes/target) tasks —
+        for a partitioned table, hash-distributed on the partition
+        columns so every partition directory collapses to as few files
+        as its share of tasks (one file minimum; a single giant
+        partition therefore compacts to ONE file — split such tables by
+        a finer partition spec first). Data content is unchanged;
+        readers of prior snapshots are unaffected (copy-on-write)."""
+        cur = self._resolve(path)
+        stats = self.file_stats(path, cur["snapshot_id"])
+        n_out = max(1, -(-stats["bytes"] // target_file_bytes))
+        df = self.read(path, cur["snapshot_id"])
+        part = cur.get("partition_by") or None
+        if part:
+            df = df.repartition(n_out, *part)
+        else:
+            df = df.repartition(n_out)
+        return self.write(df, path, partition_by=part, op="compact", tag=tag)
+
+    def diff(self, path: str, from_id: int, to_id: int,
+             key_cols: list[str]) -> DataFrame:
+        """Key-level change feed between two snapshots: one row per key
+        whose row-set changed, with _change in (inserted, deleted,
+        updated). The Iceberg incremental-read analogue for derived
+        consumers (refresh jobs, downstream caches).
+
+        One full-outer shuffle join on the key; row-set equality per key
+        is order-insensitive (sorted hash aggregate over the full row),
+        so it is correct for one-to-many tables too."""
+        old = self.read(path, from_id)
+        new = self.read(path, to_id)
+        data_cols = [c for c in old.columns if c not in key_cols]
+
+        def digest(df: DataFrame, name: str) -> DataFrame:
+            h = F.md5(F.concat_ws("\x1f", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in data_cols])) if data_cols else F.lit("")
+            return (df.withColumn("_h", h)
+                    .groupBy(*key_cols)
+                    .agg(F.md5(F.concat_ws(",", F.sort_array(
+                        F.collect_list("_h")))).alias(name)))
+
+        o = digest(old, "_old")
+        n = digest(new, "_new")
+        j = o.join(n, key_cols, "full_outer")
+        return (j.withColumn("_change", F.when(F.col("_old").isNull(), "inserted")
+                             .when(F.col("_new").isNull(), "deleted")
+                             .when(F.col("_old") != F.col("_new"), "updated"))
+                .filter(F.col("_change").isNotNull())
+                .select(*key_cols, "_change"))
+
     # -- read path ----------------------------------------------------------
     def _resolve(self, path: str, snapshot_id: int | None = None,
                  tag: str | None = None,

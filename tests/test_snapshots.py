@@ -182,3 +182,59 @@ def test_orphan_snapshot_dir_is_skipped(spark, writer, tmp_path):
     assert [e["parent_id"] for e in hist] == [None, 1]
     got = {r["doc_id"] for r in writer.read(t).collect()}
     assert got == {1}                                    # orphan never read
+
+
+def test_compact_reduces_files_preserves_data(spark, writer, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") * 7).alias("n"))
+    writer.write(df.repartition(32), t)
+    before = writer.file_stats(t)
+    assert before["n_files"] == 32
+
+    s = writer.compact(t, target_file_bytes=1 << 30)
+    after = writer.file_stats(t)
+    assert after["n_files"] == 1 and after["snapshot_id"] == s
+    assert writer.history(t)[-1]["op"] == "compact"
+    # content identical, prior snapshot untouched (copy-on-write)
+    assert writer.read(t).exceptAll(writer.read(t, snapshot_id=1)).count() == 0
+    assert writer.read(t, snapshot_id=1).count() == 2000
+    assert writer.file_stats(t, snapshot_id=1)["n_files"] == 32
+
+
+def test_compact_partitioned_collapses_per_partition(spark, writer, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+        F.col("id").alias("n"))
+    writer.write(df.repartition(8), t, partition_by=["lang"])
+    assert writer.file_stats(t)["n_files"] > 2
+    writer.compact(t, target_file_bytes=1 << 30)
+    # one file per partition value; partition layout preserved
+    assert writer.file_stats(t)["n_files"] == 2
+    assert writer.history(t)[-1]["partition_by"] == ["lang"]
+    got = {str(k): v for k, v in
+           writer.read(t).groupBy("lang").count().collect()}
+    assert got == {"0": 150, "1": 150}  # partition col type re-inferred on read
+
+
+def test_snapshot_diff_change_feed(spark, writer, tmp_path):
+    t = str(tmp_path / "tbl")
+    writer.write(_df(spark, [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]), t)
+    writer.write(_df(spark, [(1, "en", 10), (2, "de", 99), (4, "it", 40)]), t)
+    got = {(r["doc_id"], r["_change"])
+           for r in writer.diff(t, 1, 2, ["doc_id"]).collect()}
+    assert got == {(2, "updated"), (3, "deleted"), (4, "inserted")}
+
+
+def test_snapshot_diff_one_to_many_order_insensitive(spark, writer, tmp_path):
+    t = str(tmp_path / "tbl")
+    writer.write(_df(spark, [(1, "en", 10), (1, "de", 20), (2, "en", 1)]), t)
+    # same row-set for key 1 in a different order; key 2 shrinks
+    writer.write(_df(spark, [(1, "de", 20), (1, "en", 10)]), t)
+    got = {(r["doc_id"], r["_change"])
+           for r in writer.diff(t, 1, 2, ["doc_id"]).collect()}
+    assert got == {(2, "deleted")}
