@@ -2017,6 +2017,154 @@ FROM dests JOIN documents USING (doc_id)
 GROUP BY url ORDER BY url"""
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact membership flag: which documents' content
+    hashes appear in a contamination list (every 37th doc). The bloom
+    answers definite misses scan-locally; only candidates pay the exact
+    join — results identical to a plain `IN` by construction."""
+    from gitnexus_spark.operators.bloom import bloom_membership
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("content_hash", F.md5(F.col("text")))
+    contaminated = docs.filter(F.col("doc_id") % 37 == 0) \
+        .select("content_hash")
+    out = bloom_membership(docs, contaminated, "content_hash",
+                           "contaminated")
+    return out.select("doc_id",
+                      F.col("contaminated").cast("int").alias("contaminated")) \
+        .orderBy("doc_id")
+
+
+SQL_BLOOM_DECONTAMINATE = """SELECT doc_id,
+  CAST(md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 37 = 0)
+       AS INT) AS contaminated
+FROM documents ORDER BY doc_id"""
+
+
+def _lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("lang", "source",
+                       F.explode(F.split(F.col("text"), " ")).alias("w"))
+
+
+def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL profile-table contract: per-lang vocabulary sizes obtained by
+    MERGING per-(lang, source) sketches must (a) equal a direct per-lang
+    sketch bit-for-bit — rollup-without-rescan is lossless — and (b)
+    sit within the HLL error envelope of the exact count. The exact
+    count is the oracle-checked value; the two contract flags must both
+    hold for the hash to match."""
+    from gitnexus_spark.operators.sketches import (distinct_profile,
+                                                   rollup_distinct)
+
+    tok = _lang_tokens(spark, sf_dir)
+    fine = distinct_profile(tok, ["lang", "source"], "w")
+    merged = rollup_distinct(fine, ["lang"]) \
+        .select("lang", F.col("approx_distinct").alias("merged_est"))
+    direct = distinct_profile(tok, ["lang"], "w") \
+        .select("lang", F.col("approx_distinct").alias("direct_est"))
+    exact = tok.groupBy("lang").agg(F.countDistinct("w").alias("exact_distinct"))
+    return (exact.join(merged, "lang").join(direct, "lang")
+            .select(
+                "lang", "exact_distinct",
+                (F.col("merged_est") == F.col("direct_est"))
+                .cast("int").alias("merge_exact"),
+                (F.abs(F.col("merged_est") - F.col("exact_distinct"))
+                 <= 0.05 * F.col("exact_distinct") + 1)
+                .cast("int").alias("within_tol"))
+            .orderBy("lang"))
+
+
+SQL_SKETCH_DISTINCT = """WITH tok AS (
+  SELECT lang, w FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents))
+SELECT lang, COUNT(DISTINCT w) AS exact_distinct,
+       1 AS merge_exact, 1 AS within_tol
+FROM tok GROUP BY lang ORDER BY lang"""
+
+
+def q_sketch_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary INTERSECTION between languages estimated
+    purely from stored per-lang HLL sketches (inclusion-exclusion via
+    hll_union) — no second corpus scan. Oracle checks the exact overlap
+    value; the flag asserts the estimate lands within the additive
+    error envelope (relative to the union size)."""
+    from gitnexus_spark.operators.sketches import (distinct_profile,
+                                                   overlap_profile)
+
+    tok = _lang_tokens(spark, sf_dir)
+    prof = distinct_profile(tok, ["lang"], "w")
+    ov = overlap_profile(prof, "lang")
+    dtok = tok.select("lang", "w").distinct()
+    a, b = dtok.alias("a"), dtok.alias("b")
+    exact = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.lang") < F.col("b.lang")))
+             .groupBy(F.col("a.lang").alias("group_a"),
+                      F.col("b.lang").alias("group_b"))
+             .agg(F.count("*").alias("exact_overlap")))
+    cnt = dtok.groupBy("lang").agg(F.count("*").alias("c"))
+    return (ov.join(exact, ["group_a", "group_b"], "left")
+            .join(cnt.select(F.col("lang").alias("group_a"),
+                             F.col("c").alias("ca")), "group_a")
+            .join(cnt.select(F.col("lang").alias("group_b"),
+                             F.col("c").alias("cb")), "group_b")
+            .withColumn("exact_overlap",
+                        F.coalesce(F.col("exact_overlap"), F.lit(0)))
+            .select(
+                "group_a", "group_b", "exact_overlap",
+                (F.abs(F.col("approx_overlap") - F.col("exact_overlap"))
+                 <= 0.08 * (F.col("ca") + F.col("cb")
+                            - F.col("exact_overlap")) + 2)
+                .cast("int").alias("within_tol"))
+            .orderBy("group_a", "group_b"))
+
+
+SQL_SKETCH_OVERLAP = """WITH tok AS (
+  SELECT DISTINCT lang, w FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)),
+langs AS (SELECT DISTINCT lang FROM documents),
+ov AS (SELECT a.lang AS ga, b.lang AS gb, COUNT(*) AS c
+       FROM tok a JOIN tok b ON a.w = b.w AND a.lang < b.lang
+       GROUP BY 1, 2)
+SELECT l1.lang AS group_a, l2.lang AS group_b,
+       CAST(COALESCE(ov.c, 0) AS BIGINT) AS exact_overlap, 1 AS within_tol
+FROM langs l1 JOIN langs l2 ON l1.lang < l2.lang
+LEFT JOIN ov ON ov.ga = l1.lang AND ov.gb = l2.lang
+ORDER BY group_a, group_b"""
+
+
+def q_sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL profile-table contract: per-lang length quantiles evaluated
+    from MERGED per-(lang, source) sketches. The oracle checks the
+    exact group counts; the flags assert each merged quantile's TRUE
+    rank (recomputed exactly in Spark) is within the KLL rank-error
+    envelope of its target rank."""
+    from gitnexus_spark.operators.sketches import (quantile_profile,
+                                                   rollup_quantiles)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fine = quantile_profile(docs, ["lang", "source"], "n_chars")
+    rolled = rollup_quantiles(fine, ["lang"], [0.5, 0.9])
+    joined = docs.join(F.broadcast(rolled), "lang")
+    return (joined.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 (F.sum((F.col("n_chars") <= F.col("q_0_5")).cast("int"))
+                  / F.count("*")).alias("r50"),
+                 (F.sum((F.col("n_chars") <= F.col("q_0_9")).cast("int"))
+                  / F.count("*")).alias("r90"))
+            .select("lang", "n",
+                    ((F.col("r50") >= 0.45) & (F.col("r50") <= 0.56))
+                    .cast("int").alias("q50_rank_ok"),
+                    ((F.col("r90") >= 0.85) & (F.col("r90") <= 0.96))
+                    .cast("int").alias("q90_rank_ok"))
+            .orderBy("lang"))
+
+
+SQL_SKETCH_QUANTILE = """SELECT lang, COUNT(*) AS n,
+  1 AS q50_rank_ok, 1 AS q90_rank_ok
+FROM documents GROUP BY lang ORDER BY lang"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2092,6 +2240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ivf_at_rest": q_similarity_ivf_at_rest,
         "snapshot_merge": q_snapshot_merge,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "sketch_distinct_rollup": q_sketch_distinct_rollup,
+        "sketch_overlap_langs": q_sketch_overlap_langs,
+        "sketch_quantile_rollup": q_sketch_quantile_rollup,
     }
 
 
@@ -2160,4 +2312,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_ivf": _sql_ann_ivf(),
         "similarity_ivf_at_rest": _sql_ann_ivf(),
         "snapshot_merge": SQL_SNAPSHOT_MERGE,
+        "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
+        "sketch_distinct_rollup": SQL_SKETCH_DISTINCT,
+        "sketch_overlap_langs": SQL_SKETCH_OVERLAP,
+        "sketch_quantile_rollup": SQL_SKETCH_QUANTILE,
     }

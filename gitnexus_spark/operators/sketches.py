@@ -58,6 +58,38 @@ def rollup_distinct(profile: DataFrame,
             .drop("sketch")
 
 
+def overlap_profile(profile: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise distinct-INTERSECTION estimates between groups, computed
+    entirely from an at-rest distinct_profile — no corpus access:
+    (group_a, group_b, approx_a, approx_b, approx_union, approx_overlap)
+    for every unordered pair group_a < group_b.
+
+    HLL supports only union natively, so the intersection is
+    inclusion-exclusion: |A∩B| ~= est(A) + est(B) - est(A∪B), with
+    est(A∪B) from the pairwise ``hll_union`` of the two stored sketches.
+    Error is additive in the three estimates, so it is relative to the
+    UNION size, not the overlap — callers comparing small overlaps of
+    huge sets should treat near-zero results as "below resolution".
+    The pair join is over profile rows (one per group): a self-join of a
+    metadata-sized table, never a corpus shuffle."""
+    a = profile.select(F.col(group_col).alias("group_a"),
+                       F.col("sketch").alias("_ska"),
+                       F.col("approx_distinct").alias("approx_a"))
+    b = profile.select(F.col(group_col).alias("group_b"),
+                       F.col("sketch").alias("_skb"),
+                       F.col("approx_distinct").alias("approx_b"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    union_est = F.hll_sketch_estimate(
+        F.hll_union("_ska", "_skb")).alias("approx_union")
+    return (pairs.select("group_a", "group_b", "approx_a", "approx_b",
+                         union_est)
+            .withColumn("approx_overlap",
+                        F.greatest(
+                            F.col("approx_a") + F.col("approx_b")
+                            - F.col("approx_union"), F.lit(0)))
+            .orderBy("group_a", "group_b"))
+
+
 def quantile_profile(df: DataFrame, group_cols: list[str], value_col: str,
                      k: int = 200) -> DataFrame:
     """Per-group KLL quantile sketch over a bigint measure:

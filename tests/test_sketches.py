@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gitnexus_spark.operators.sketches import (distinct_profile,
+                                               overlap_profile,
                                                quantile_profile,
                                                rollup_distinct,
                                                rollup_quantiles)
@@ -53,6 +54,25 @@ def test_rollup_equals_direct_sketch_exactly(spark, mentions):
                      for r in distinct_profile(
                          mentions, ["domain"], "entity").collect()}
     assert by_dom_merged == by_dom_direct
+
+
+def test_overlap_profile_inclusion_exclusion(spark):
+    """Ranged entity universes with known pairwise intersections:
+    group g covers [g*300, g*300+500) so adjacent groups overlap by
+    exactly 200, g/g+2 by 0."""
+    df = spark.range(0, 30000).select(
+        (F.col("id") % 4).alias("g"),
+        ((F.col("id") % 4) * 300 + (F.floor(F.col("id") / 4) % 500))
+        .cast("string").alias("entity"))
+    prof = distinct_profile(df, ["g"], "entity")
+    ov = {(r["group_a"], r["group_b"]): r["approx_overlap"]
+          for r in overlap_profile(prof, "g").collect()}
+    assert set(ov) == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    for (ga, gb), est in ov.items():
+        exact = 200 if gb - ga == 1 else 0
+        union = 1000 - exact
+        # additive HLL error is relative to the union size
+        assert abs(est - exact) <= 0.06 * union, (ga, gb, est)
 
 
 def test_quantile_profile_and_rollup(spark, mentions):
