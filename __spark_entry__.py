@@ -2017,6 +2017,42 @@ FROM dests JOIN documents USING (doc_id)
 GROUP BY url ORDER BY url"""
 
 
+def q_kg_cypher_optional_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH + WITH...WHERE (HAVING) through the Cypher
+    front-end: per-entity outgoing-ACQUIRED degree INCLUDING zeros
+    (left-join semantics), aggregated at a WITH boundary, filtered on
+    the aggregate, reused as a scalar in RETURN."""
+    from gitnexus_spark.cypher import cypher_query
+
+    out = _run_full_pipeline(spark, sf_dir)
+    return cypher_query(
+        out["nodes"], out["edges"],
+        "MATCH (e:Entity) OPTIONAL MATCH (e)-[:ACQUIRED]->(t:Entity) "
+        "WITH e, COUNT(t) AS n_acq WHERE n_acq <= 2 "
+        "RETURN e.name AS name, n_acq ORDER BY n_acq DESC, name ASC LIMIT 15",
+        auto_limit=None)
+
+
+# Entity universe = the 97 canonical keys; ACQUIRED edges mirror the
+# deduplicated pred_edges arithmetic of SQL_KG_CYPHER_ACQUIRED.
+SQL_KG_CYPHER_OPTIONAL_WITH = """WITH pred_edges AS (
+  SELECT DISTINCT pred, k1, k2 FROM (
+    SELECT upper(['founded','acquired','endorsed','criticized','visited'][(doc_id % 5) + 1]) AS pred,
+           doc_id % 97 AS k1, (doc_id*7+13) % 97 AS k2
+    FROM documents
+    UNION ALL
+    SELECT 'ACQUIRED', doc_id % 97, (doc_id*7+13) % 97 FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'ACQUIRED', doc_id % 97, (doc_id*31+5) % 97 FROM documents WHERE doc_id % 3 = 0)),
+ents AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+acq AS (SELECT k1, COUNT(*) AS n FROM pred_edges WHERE pred = 'ACQUIRED' GROUP BY k1)
+SELECT 'E' || CAST(k AS VARCHAR) AS name,
+       CAST(COALESCE(acq.n, 0) AS BIGINT) AS n_acq
+FROM ents LEFT JOIN acq ON acq.k1 = ents.k
+WHERE COALESCE(acq.n, 0) <= 2
+ORDER BY n_acq DESC, name ASC LIMIT 15"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned exact membership flag: which documents' content
     hashes appear in a contamination list (every 37th doc). The bloom
@@ -2198,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_top_mentions": q_kg_cypher_top_mentions,
         "kg_cypher_acquired": q_kg_cypher_acquired,
         "kg_cypher_varlen": q_kg_cypher_varlen,
+        "kg_cypher_optional_with": q_kg_cypher_optional_with,
         "archive_pages": q_archive_pages,
         "embedding_near_dup": q_embedding_near_dup,
         "kg_span_attribution": q_kg_span_attribution,
@@ -2263,6 +2300,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cypher_top_mentions": SQL_KG_TOP_ENTITIES,
         "kg_cypher_acquired": SQL_KG_CYPHER_ACQUIRED,
         "kg_cypher_varlen": SQL_KG_CYPHER_VARLEN,
+        "kg_cypher_optional_with": SQL_KG_CYPHER_OPTIONAL_WITH,
         "kg_two_hop": SQL_KG_TWO_HOP,
         "kg_two_hop_bucketed": SQL_KG_TWO_HOP,
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,

@@ -110,10 +110,27 @@ class OrderItem:
     asc: bool = True
 
 
+# --- reading clauses ------------------------------------------------------
+
+@dataclass
+class MatchClause:
+    """MATCH / OPTIONAL MATCH with its own (Cypher-scoped) WHERE."""
+    patterns: list             # list[Pattern]
+    where: object | None = None
+    optional: bool = False
+
+
+@dataclass
+class WithClause:
+    """WITH projection boundary; WHERE after it is Cypher's HAVING."""
+    items: list                # list[ReturnItem]
+    where: object | None = None
+    distinct: bool = False
+
+
 @dataclass
 class Query:
-    patterns: list             # list[Pattern]
-    where: object | None
+    clauses: list              # list[MatchClause | WithClause]
     distinct: bool
     items: list                # list[ReturnItem]
     order_by: list             # list[OrderItem]

@@ -23,6 +23,14 @@ src/core/graph/query.ts:97-197):
   ``<name>_<col>`` (e.g. f_id, f_label, f_name, f_url).
 - EXISTS((a)-[:T]->(b)) is supported as a top-level WHERE conjunct and
   compiles to a semi-join (anti-join when negated).
+- OPTIONAL MATCH compiles to a LEFT OUTER join on the shared variables'
+  ids; its WHERE is scoped to the optional pattern (applied before the
+  join), matching Cypher, so non-matching rows survive with NULLs.
+- WITH is a projection boundary: bare variables pass their column
+  groups through (still matchable downstream), aliased items become
+  scalars referencable by name, aggregates use the same implicit
+  grouping as RETURN, and a WHERE after WITH filters the projected
+  frame (Cypher's HAVING).
 """
 
 from __future__ import annotations
@@ -32,8 +40,9 @@ import itertools
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .ast import (BoolOp, Cmp, ExistsPat, IsNull, Lit, NodePat, Not,
-                  Pattern, Prop, Query, RelPat, ReturnItem, StrPred, VarRef)
+from .ast import (BoolOp, Cmp, ExistsPat, IsNull, Lit, MatchClause, NodePat,
+                  Not, Pattern, Prop, Query, RelPat, ReturnItem, StrPred,
+                  VarRef, WithClause)
 from .parser import parse
 
 MAX_VARLEN_HOPS = 5   # reference clamp, query-optimization.ts:412-422
@@ -179,9 +188,12 @@ def _compile_value(expr, df_cols: list[str]) -> Column:
         return F.col(c)
     if isinstance(expr, VarRef):
         c = _ncol(expr.var, "id")
-        if c not in df_cols:
-            raise CypherCompileError(f"unbound variable {expr.var!r}")
-        return F.col(c)
+        if c in df_cols:
+            return F.col(c)
+        # scalar introduced by a WITH alias (e.g. WITH count(*) AS c)
+        if expr.var in df_cols:
+            return F.col(expr.var)
+        raise CypherCompileError(f"unbound variable {expr.var!r}")
     raise CypherCompileError(f"cannot compile value {expr!r}")
 
 
@@ -247,40 +259,70 @@ def _plain_name(e) -> str:
     return "expr"
 
 
-def compile_query(q: Query, nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    b = _PatternBuilder(nodes, edges)
-    cur: DataFrame | None = None
-    for pat in q.patterns:
-        cur = b.build(pat, cur)
+def _apply_where(b: _PatternBuilder, cur: DataFrame, where) -> DataFrame:
+    """EXISTS conjuncts become semi/anti joins, the rest one filter."""
+    plain = []
+    for conj in _split_conjuncts(where):
+        if isinstance(conj, ExistsPat):
+            anchor_vars = [e.var for e in conj.pattern.elements[::2]
+                           if isinstance(e, NodePat) and e.var]
+            have = {c.split("__")[1] for c in cur.columns
+                    if c.startswith("__")}
+            anchors = [v for v in anchor_vars if v in have]
+            if not anchors:
+                raise CypherCompileError(
+                    "EXISTS pattern must share at least one variable "
+                    "with the outer MATCH")
+            sub = b.build(conj.pattern, None)
+            keys = [_ncol(v, "id") for v in anchors]
+            sub_keys = sub.select(*keys).dropDuplicates(keys)
+            how = "left_anti" if conj.negated else "left_semi"
+            cur = cur.join(sub_keys, on=keys, how=how)
+        else:
+            plain.append(conj)
+    if plain:
+        pred = plain[0] if len(plain) == 1 else BoolOp("and", plain)
+        cur = cur.filter(_compile_pred(pred, cur.columns))
+    return cur
 
-    # WHERE: EXISTS conjuncts become semi/anti joins, the rest a filter
-    if q.where is not None:
-        plain = []
-        for conj in _split_conjuncts(q.where):
-            if isinstance(conj, ExistsPat):
-                anchor_vars = [e.var for e in conj.pattern.elements[::2]
-                               if isinstance(e, NodePat) and e.var]
-                have = {c.split("__")[1] for c in cur.columns
-                        if c.startswith("__")}
-                anchors = [v for v in anchor_vars if v in have]
-                if not anchors:
-                    raise CypherCompileError(
-                        "EXISTS pattern must share at least one variable "
-                        "with the outer MATCH")
-                sub = b.build(conj.pattern, None)
-                keys = [_ncol(v, "id") for v in anchors]
-                sub_keys = sub.select(*keys).dropDuplicates(keys)
-                how = "left_anti" if conj.negated else "left_semi"
-                cur = cur.join(sub_keys, on=keys, how=how)
-            else:
-                plain.append(conj)
-        if plain:
-            pred = plain[0] if len(plain) == 1 else BoolOp("and", plain)
-            cur = cur.filter(_compile_pred(pred, cur.columns))
 
-    # RETURN
-    has_agg = any(it.agg for it in q.items)
-    node_cols = nodes.columns
+def _optional_match(b: _PatternBuilder, cur: DataFrame,
+                    cl: MatchClause) -> DataFrame:
+    """OPTIONAL MATCH = left outer join on the shared variables' ids.
+    The clause's WHERE is Cypher-scoped to the optional pattern (part of
+    the join condition, not a post-filter), so it is applied to the
+    optional side BEFORE the join — unmatched rows keep their NULLs."""
+    if cur is None:
+        raise CypherCompileError("OPTIONAL MATCH cannot be the first clause")
+    sub: DataFrame | None = None
+    for pat in cl.patterns:
+        sub = b.build(pat, sub)
+    if cl.where is not None:
+        sub = sub.filter(_compile_pred(cl.where, sub.columns))
+    outer = {c.split("__")[1] for c in cur.columns if c.startswith("__")}
+    inner = {c.split("__")[1] for c in sub.columns if c.startswith("__")}
+    shared = sorted(outer & inner)
+    if not shared:
+        raise CypherCompileError(
+            "OPTIONAL MATCH must share at least one variable with the "
+            "preceding clauses")
+    keys = [_ncol(v, "id") for v in shared]
+    dup = [c for c in sub.columns
+           if c.startswith("__") and c.split("__")[1] in shared
+           and c not in keys]
+    return cur.join(sub.drop(*dup), on=keys, how="left")
+
+
+def _project(cur: DataFrame, items: list[ReturnItem], node_cols: list[str],
+             distinct: bool, with_mode: bool) -> DataFrame:
+    """Shared RETURN / WITH projection with Cypher's implicit grouping.
+
+    In with_mode a bare node variable passes ALL its ``__var__col``
+    columns through under their internal names (optionally renamed by
+    AS), keeping the variable usable by later clauses; every non-
+    variable item must be aliased (standard Cypher rule) and lands as a
+    plain scalar column resolvable as a bare name downstream."""
+    has_agg = any(it.agg for it in items)
 
     def expand(item: ReturnItem) -> list[tuple[Column, str]]:
         """-> [(column, output_name)]"""
@@ -304,22 +346,32 @@ def compile_query(q: Query, nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 fn = {"sum": F.sum, "avg": F.avg,
                       "min": F.min, "max": F.max}[item.agg]
                 col = fn(src)
+            if with_mode and item.alias is None:
+                raise CypherCompileError(
+                    f"WITH item {name!r} must be aliased (AS ...)")
             return [(col, name)]
         if isinstance(item.expr, VarRef):
             v = item.expr.var
+            if _ncol(v, "id") not in cur.columns and v in cur.columns:
+                # scalar from an earlier WITH
+                return [(F.col(v), item.alias or v)]
             base = item.alias or v
             out = []
             for c in node_cols:
                 nc = _ncol(v, c)
                 if nc in cur.columns:
-                    out.append((F.col(nc), f"{base}_{c}"))
+                    out.append((F.col(nc),
+                                _ncol(base, c) if with_mode else f"{base}_{c}"))
             if not out:
                 raise CypherCompileError(f"unbound variable {v!r}")
             return out
+        if with_mode and item.alias is None:
+            raise CypherCompileError(
+                f"WITH item {name!r} must be aliased (AS ...)")
         return [(_compile_value(item.expr, cur.columns), name)]
 
-    agg_items = [it for it in q.items if it.agg]
-    key_items = [it for it in q.items if not it.agg]
+    agg_items = [it for it in items if it.agg]
+    key_items = [it for it in items if not it.agg]
     if has_agg:
         key_cols = []
         for it in key_items:
@@ -333,16 +385,44 @@ def compile_query(q: Query, nodes: DataFrame, edges: DataFrame) -> DataFrame:
             out = cur.groupBy(*keyed).agg(*aggs)
         else:
             out = cur.agg(*aggs)
-        # restore RETURN item order
-        order = [_item_name(it) for it in q.items]
-        out = out.select(*[F.col(f"`{n}`") for n in order])
+        if not with_mode:
+            # restore RETURN item order
+            order = [_item_name(it) for it in items]
+            out = out.select(*[F.col(f"`{n}`") for n in order])
     else:
         cols = []
-        for it in q.items:
+        for it in items:
             cols.extend(expand(it))
         out = cur.select(*[c.alias(n) for c, n in cols])
-        if q.distinct:
+        if distinct:
             out = out.dropDuplicates()
+    return out
+
+
+def compile_query(q: Query, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    b = _PatternBuilder(nodes, edges)
+    cur: DataFrame | None = None
+    for cl in q.clauses:
+        if isinstance(cl, MatchClause):
+            if cl.optional:
+                cur = _optional_match(b, cur, cl)
+            else:
+                for pat in cl.patterns:
+                    cur = b.build(pat, cur)
+                if cl.where is not None:
+                    cur = _apply_where(b, cur, cl.where)
+        elif isinstance(cl, WithClause):
+            if cur is None:
+                raise CypherCompileError("WITH cannot be the first clause")
+            cur = _project(cur, cl.items, nodes.columns,
+                           distinct=cl.distinct, with_mode=True)
+            if cl.where is not None:
+                cur = _apply_where(b, cur, cl.where)
+        else:  # pragma: no cover
+            raise CypherCompileError(f"unknown clause {cl!r}")
+
+    out = _project(cur, q.items, nodes.columns,
+                   distinct=q.distinct, with_mode=False)
 
     # ORDER BY resolves against output columns first, else raw refs
     if q.order_by:

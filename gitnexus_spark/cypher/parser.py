@@ -2,10 +2,10 @@
 
 Grammar (case-insensitive keywords)::
 
-    query     := MATCH pattern (',' pattern)*
-                 [WHERE expr]
-                 RETURN [DISTINCT] item (',' item)*
+    query     := reading+ RETURN [DISTINCT] item (',' item)*
                  [ORDER BY oitem (',' oitem)*] [SKIP INT] [LIMIT INT]
+    reading   := [OPTIONAL] MATCH pattern (',' pattern)* [WHERE expr]
+               | WITH [DISTINCT] item (',' item)* [WHERE expr]
     pattern   := node (rel node)*
     node      := '(' [IDENT] [':' IDENT] [props] ')'
     props     := '{' IDENT ':' literal (',' IDENT ':' literal)* '}'
@@ -25,9 +25,9 @@ from __future__ import annotations
 
 import re
 
-from .ast import (AGG_FNS, BoolOp, Cmp, ExistsPat, IsNull, Lit, NodePat,
-                  Not, OrderItem, Pattern, Prop, Query, RelPat, ReturnItem,
-                  StrPred, VarRef)
+from .ast import (AGG_FNS, BoolOp, Cmp, ExistsPat, IsNull, Lit, MatchClause,
+                  NodePat, Not, OrderItem, Pattern, Prop, Query, RelPat,
+                  ReturnItem, StrPred, VarRef, WithClause)
 
 
 class CypherSyntaxError(ValueError):
@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "match", "where", "return", "distinct", "order", "by", "skip", "limit",
     "as", "and", "or", "not", "contains", "starts", "ends", "with", "is",
-    "null", "true", "false", "exists", "asc", "desc",
+    "null", "true", "false", "exists", "asc", "desc", "optional",
 }
 
 
@@ -125,15 +125,22 @@ class _Parser:
 
     # -- grammar ----------------------------------------------------------
     def parse_query(self) -> Query:
-        self.eat_kw("match")
-        patterns = [self.pattern()]
-        while self.at_op(","):
-            self.next()
-            patterns.append(self.pattern())
-        where = None
-        if self.at_kw("where"):
-            self.next()
-            where = self.expr()
+        clauses: list = []
+        while True:
+            if self.at_kw("optional"):
+                self.next()
+                self.eat_kw("match")
+                clauses.append(self.match_clause(optional=True))
+            elif self.at_kw("match"):
+                self.next()
+                clauses.append(self.match_clause(optional=False))
+            elif self.at_kw("with"):
+                self.next()
+                clauses.append(self.with_clause())
+            else:
+                break
+        if not clauses:
+            self.error("expected MATCH")
         self.eat_kw("return")
         distinct = False
         if self.at_kw("distinct"):
@@ -160,7 +167,33 @@ class _Parser:
             limit = self.int_lit()
         if self.peek()[0] != "eof":
             self.error("unexpected trailing input")
-        return Query(patterns, where, distinct, items, order_by, skip, limit)
+        return Query(clauses, distinct, items, order_by, skip, limit)
+
+    def match_clause(self, optional: bool) -> MatchClause:
+        patterns = [self.pattern()]
+        while self.at_op(","):
+            self.next()
+            patterns.append(self.pattern())
+        where = None
+        if self.at_kw("where"):
+            self.next()
+            where = self.expr()
+        return MatchClause(patterns, where, optional)
+
+    def with_clause(self) -> WithClause:
+        distinct = False
+        if self.at_kw("distinct"):
+            self.next()
+            distinct = True
+        items = [self.return_item()]
+        while self.at_op(","):
+            self.next()
+            items.append(self.return_item())
+        where = None
+        if self.at_kw("where"):
+            self.next()
+            where = self.expr()
+        return WithClause(items, where, distinct)
 
     def int_lit(self) -> int:
         kind, val, _ = self.peek()

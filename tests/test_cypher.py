@@ -53,7 +53,7 @@ def test_parse_shapes():
     q = parse("MATCH (a:Page {name: 'x'})-[:LINKS_TO*2..4]->(b) "
               "WHERE b.name CONTAINS 'y' RETURN a.name, COUNT(b) AS n "
               "ORDER BY n DESC SKIP 1 LIMIT 3")
-    pat = q.patterns[0]
+    pat = q.clauses[0].patterns[0]
     assert isinstance(pat, Pattern) and len(pat.elements) == 3
     rel = pat.elements[1]
     assert isinstance(rel, RelPat)
@@ -66,7 +66,7 @@ def test_parse_shapes():
 
 def test_parse_keyword_reltype():
     q = parse("MATCH (s:Section)-[:CONTAINS]->(p:Page) RETURN p.name")
-    assert q.patterns[0].elements[1].rtype == "CONTAINS"
+    assert q.clauses[0].patterns[0].elements[1].rtype == "CONTAINS"
 
 
 @pytest.mark.parametrize("bad", [
@@ -210,3 +210,71 @@ def test_unanchored_exists_rejected(graph):
     with pytest.raises(CypherCompileError):
         run(graph, "MATCH (p:Page) WHERE EXISTS((q)-[:LINKS_TO]->(:Page)) "
                    "RETURN p.name")
+
+
+# --- OPTIONAL MATCH / WITH ------------------------------------------------
+
+def test_optional_match_counts_zero(graph):
+    out = run(graph,
+              "MATCH (p:Page) OPTIONAL MATCH (p)-[:LINKS_TO]->(q:Page) "
+              "RETURN p.name AS name, COUNT(q) AS n ORDER BY name")
+    assert rows(out) == [("about", 1), ("blog", 1), ("home", 2), ("orphan", 0)]
+
+
+def test_optional_match_null_row(graph):
+    out = run(graph,
+              "MATCH (p:Page {name: 'orphan'}) "
+              "OPTIONAL MATCH (p)-[:LINKS_TO]->(q) "
+              "RETURN p.name AS name, q.name AS target")
+    assert rows(out) == [("orphan", None)]
+
+
+def test_optional_match_where_scoped_to_pattern(graph):
+    """WHERE after OPTIONAL MATCH restricts the optional side only:
+    pages whose links don't hit 'blog' still appear, with NULL."""
+    out = run(graph,
+              "MATCH (p:Page) OPTIONAL MATCH (p)-[:LINKS_TO]->(q:Page) "
+              "WHERE q.name = 'blog' "
+              "RETURN p.name AS name, q.name AS target ORDER BY name")
+    assert rows(out) == [("about", "blog"), ("blog", None),
+                         ("home", "blog"), ("orphan", None)]
+
+
+def test_with_aggregate_having(graph):
+    out = run(graph,
+              "MATCH (p:Page)-[:MENTIONS]->(e:Entity) "
+              "WITH e, COUNT(*) AS c WHERE c >= 2 "
+              "RETURN e.name AS name, c")
+    assert rows(out) == [("E1", 2)]
+
+
+def test_with_passthrough_then_match(graph):
+    out = run(graph,
+              "MATCH (s:Section)-[:CONTAINS]->(p:Page) WITH p "
+              "MATCH (p)-[:LINKS_TO]->(q:Page) RETURN COUNT(*) AS n")
+    assert rows(out) == [(3,)]
+
+
+def test_with_scalar_alias_filter(graph):
+    out = run(graph,
+              "MATCH (p:Page) WITH p.name AS nm "
+              "WHERE nm STARTS WITH 'b' RETURN nm ORDER BY nm")
+    assert rows(out) == [("blog",)]
+
+
+def test_with_distinct_var(graph):
+    out = run(graph,
+              "MATCH (p:Page)-[:MENTIONS]->(e:Entity) WITH DISTINCT p "
+              "RETURN COUNT(*) AS n")
+    assert rows(out) == [(3,)]
+
+
+@pytest.mark.parametrize("bad", [
+    "OPTIONAL MATCH (p:Page) RETURN p.name",
+    "MATCH (p:Page) WITH COUNT(*) RETURN 1",
+    "MATCH (p:Page) OPTIONAL MATCH (x:Entity)-[:ACQUIRED]->(y) RETURN p.name",
+    "WITH 1 AS x RETURN x",
+])
+def test_optional_with_compile_errors(graph, bad):
+    with pytest.raises((CypherCompileError, CypherSyntaxError)):
+        run(graph, bad)
