@@ -234,7 +234,8 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
 def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", eval_text_col: str | None = None,
                   shingle_n: int = 4, min_hits: int = 1,
-                  broadcast_eval: bool = True) -> DataFrame:
+                  broadcast_eval: bool = True,
+                  bloom_prefilter: bool = True) -> DataFrame:
     """Mark training documents that overlap an evaluation set.
 
     The standard pre-training hygiene step: a training doc is
@@ -254,8 +255,14 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
     before the only shuffle (the per-doc hit count, partial-agg'd
     map-side). For an eval set too large to broadcast, pass
     ``broadcast_eval=False`` to fall back to a gram-keyed shuffle join
-    (grams are near-uniform keys; no skew). The per-doc gram explode is
-    never materialized at rest — it flows straight into the join.
+    (grams are near-uniform keys; no skew); on that path a broadcast
+    BLOOM of the eval grams (``bloom_prefilter``, default on) drops the
+    overwhelmingly non-matching training grams AT THE SCAN, so the
+    shuffle carries true hits + ~1% false positives instead of the full
+    exploded gram stream (~10x corpus bytes) — the exact join then
+    removes the false positives, keeping results identical. The per-doc
+    gram explode is never materialized at rest — it flows straight into
+    the join.
     """
     ev_text = eval_text_col or text_col
     ev = (
@@ -263,12 +270,19 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
         .select(F.explode("shingles").alias("gram"))
         .distinct()
     )
-    if broadcast_eval:
-        ev = F.broadcast(ev)
     tr = (
         with_shingles(df.select(id_col, text_col), text_col, shingle_n)
         .select(id_col, F.explode("shingles").alias("gram"))
     )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    elif bloom_prefilter:
+        from .bloom import bloom_params, build_bloom, might_contain
+        ev = ev.persist()
+        num_bits, num_hashes = bloom_params(ev.count())
+        bloom = build_bloom(ev, "gram", num_bits, num_hashes)
+        tr = might_contain(tr, "gram", bloom, num_bits, num_hashes) \
+            .filter(F.col("_bloom_hit")).drop("_bloom_hit")
     # shingles are distinct per doc, so count(*) == distinct-gram hits
     hits = tr.join(ev, "gram").groupBy(id_col).agg(
         F.count("*").alias("eval_hits"))

@@ -156,5 +156,16 @@ def test_decontaminate(spark):
         fb = _plan(decontaminate(train, ev, shingle_n=4,
                                  broadcast_eval=False))
         assert "BroadcastHashJoin" not in fb, fb
+        # the bloom prefilter sits scan-side of the gram shuffle
+        assert "ArrowEvalPython" in fb, fb
+        nb = _plan(decontaminate(train, ev, shingle_n=4,
+                                 broadcast_eval=False,
+                                 bloom_prefilter=False))
+        assert "ArrowEvalPython" not in nb, nb
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # bloom-less fallback matches too
+    got3 = {r["doc_id"]: r["contaminated"] for r in
+            decontaminate(train, ev, shingle_n=4, broadcast_eval=False,
+                          bloom_prefilter=False).collect()}
+    assert got3 == {k: v["contaminated"] for k, v in got.items()}
