@@ -76,6 +76,7 @@ def main() -> None:
         "dedup_simhash", "text_stats",
         "similarity_topk", "similarity_ann_ivf",
         "stratified_sample", "pack_sequences",
+        "bloom_decontaminate", "sketch_distinct_rollup",
     ]
     qs = entrymod.queries()
     for name in heads:

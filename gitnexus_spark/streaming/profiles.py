@@ -1,0 +1,100 @@
+"""Incremental sketch-profile maintenance over a stream.
+
+The batch sketch layer (operators/sketches.py) proves that merging
+per-group HLL sketches is LOSSLESS — union of sketches == sketch of the
+union, bit for bit. That same property makes streaming maintenance of a
+profile table exact AND replay-safe:
+
+- exact: folding each micro-batch's partial sketches into the stored
+  profile yields the identical sketch a from-scratch build over all data
+  seen would produce — the maintained table never drifts;
+- replay-safe: foreachBatch is at-least-once, so an epoch guard (cheap
+  manifest-tag read) skips already-folded epochs, giving exactly-once
+  commits and one snapshot per micro-batch. Note the guard is REQUIRED
+  for bit-stable estimates, not just tidiness: although HLL union is
+  register-wise max (re-merging a batch can never lose items), Spark's
+  estimator is not invariant under self-union — a sketch unioned with
+  itself can flip from the HIP to the composite estimator — so blind
+  re-merges would wobble the reported counts.
+
+Per trigger the work is one partial-agg shuffle of the BATCH at the
+profile grain plus a keyed replace of the touched groups — history is
+never rescanned, which is the whole point at 10^12 rows of history.
+The reference's analogue is the per-file index it re-merges on update
+(trie.ts:228-254), lifted to columnar aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketches import DEFAULT_LG_K, distinct_profile
+from ..sources.snapshots import SnapshotWriter
+
+
+def merge_profile_into(writer: SnapshotWriter, table_path: str,
+                       delta: DataFrame, group_cols: list[str],
+                       tag: str | None = None) -> int:
+    """Fold a delta distinct-profile into the at-rest profile table.
+
+    Only groups PRESENT in the delta are re-merged (semi-join slice of
+    the stored profile); untouched groups ride through the keyed
+    replace. Commits one new snapshot; returns its id."""
+    if not writer.exists(table_path):
+        return writer.write(delta, table_path, op="profile", tag=tag)
+    old = writer.read(table_path)
+    keys = delta.select(*group_cols).dropDuplicates(group_cols)
+    changed = old.join(keys, group_cols, "left_semi")
+    both = changed.select(*group_cols, "sketch") \
+        .unionByName(delta.select(*group_cols, "sketch"))
+    merged = (both.groupBy(*group_cols)
+              .agg(F.hll_union_agg("sketch").alias("sketch"))
+              .withColumn("approx_distinct",
+                          F.hll_sketch_estimate("sketch")))
+    return writer.replace_into(table_path, merged, match_cols=group_cols,
+                               tag=tag)
+
+
+def _last_epoch(writer: SnapshotWriter, table_path: str) -> int:
+    """Highest epoch-N tag in the table's history (-1 if none)."""
+    if not writer.exists(table_path):
+        return -1
+    last = -1
+    for e in writer.history(table_path):
+        for t in e.get("tags", []):
+            if t.startswith("epoch-"):
+                try:
+                    last = max(last, int(t.split("-", 1)[1]))
+                except ValueError:
+                    pass
+    return last
+
+
+def start_distinct_profile_stream(stream_df: DataFrame, table_path: str,
+                                  group_cols: list[str], value_col: str,
+                                  checkpoint_dir: str,
+                                  lg_k: int = DEFAULT_LG_K):
+    """Maintain an at-rest HLL distinct-count profile of a stream:
+    each micro-batch is sketched at the (group_cols) grain and merged
+    into the snapshot table at ``table_path``. Readers roll the profile
+    up with operators/sketches.rollup_distinct — no history rescan."""
+    spark = stream_df.sparkSession
+    writer = SnapshotWriter(spark)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if epoch_id <= _last_epoch(writer, table_path):
+            return  # replayed epoch: already folded in (and idempotent)
+        delta = distinct_profile(batch_df, group_cols, value_col, lg_k)
+        merge_profile_into(writer, table_path, delta, group_cols,
+                           tag=f"epoch-{epoch_id}")
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

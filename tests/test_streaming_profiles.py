@@ -1,0 +1,97 @@
+"""Streaming sketch-profile maintenance: the maintained table must equal
+a from-scratch batch build over everything seen (sketch merge is
+lossless), commit once per micro-batch, and tolerate replay."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gitnexus_spark.operators.sketches import distinct_profile
+from gitnexus_spark.sources.snapshots import SnapshotWriter
+from gitnexus_spark.streaming.profiles import (merge_profile_into,
+                                               start_distinct_profile_stream)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ["in", "tbl", "ckpt"]}
+    yield d
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        ((F.col("id") * 37 + 11) % 997).cast("string").alias("entity"))
+
+
+def _run_stream(spark, dirs):
+    stream = (spark.readStream.schema("lang string, entity string")
+              .option("maxFilesPerTrigger", 1).parquet(dirs["in"]))
+    q = start_distinct_profile_stream(
+        stream, dirs["tbl"], ["lang"], "entity", dirs["ckpt"])
+    q.awaitTermination(120)
+
+
+def test_streaming_profile_equals_batch(spark, dirs):
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    _mk(spark, 0, 4000).coalesce(1).write.mode("append").parquet(dirs["in"])
+    _mk(spark, 4000, 9000).coalesce(1).write.mode("append").parquet(dirs["in"])
+    _run_stream(spark, dirs)
+
+    w = SnapshotWriter(spark)
+    got = {r["lang"]: r["approx_distinct"]
+           for r in w.read(dirs["tbl"]).collect()}
+    want = {r["lang"]: r["approx_distinct"]
+            for r in distinct_profile(_mk(spark, 0, 9000),
+                                      ["lang"], "entity").collect()}
+    assert got == want  # IDENTICAL estimates, not just close
+    # one commit per non-empty micro-batch
+    assert len(w.history(dirs["tbl"])) >= 2
+
+    # a later stream run folds new data in without touching history
+    _mk(spark, 9000, 12000).coalesce(1).write.mode("append").parquet(dirs["in"])
+    _run_stream(spark, dirs)
+    got2 = {r["lang"]: r["approx_distinct"]
+            for r in w.read(dirs["tbl"]).collect()}
+    want2 = {r["lang"]: r["approx_distinct"]
+             for r in distinct_profile(_mk(spark, 0, 12000),
+                                       ["lang"], "entity").collect()}
+    assert got2 == want2
+
+
+def test_epoch_guard_skips_replayed_batches(spark, dirs):
+    """Re-running the stream with a FRESH checkpoint replays the same
+    files under the same epoch ids; the manifest epoch guard must skip
+    them — table bytes and history length unchanged."""
+    _mk(spark, 0, 4000).coalesce(1).write.mode("append").parquet(dirs["in"])
+    _run_stream(spark, dirs)
+    w = SnapshotWriter(spark)
+    before = {r["lang"]: r["approx_distinct"]
+              for r in w.read(dirs["tbl"]).collect()}
+    n_commits = len(w.history(dirs["tbl"]))
+
+    shutil.rmtree(dirs["ckpt"], ignore_errors=True)  # force full replay
+    _run_stream(spark, dirs)
+    after = {r["lang"]: r["approx_distinct"]
+             for r in w.read(dirs["tbl"]).collect()}
+    assert after == before
+    assert len(w.history(dirs["tbl"])) == n_commits
+
+
+def test_partial_group_delta_keeps_other_groups(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    w = SnapshotWriter(spark)
+    merge_profile_into(
+        w, tbl, distinct_profile(_mk(spark, 0, 3000), ["lang"], "entity"),
+        ["lang"])
+    en_before = {r["lang"]: r["approx_distinct"]
+                 for r in w.read(tbl).collect()}["en"]
+    # delta touching only 'de'
+    de_only = _mk(spark, 3000, 5000).filter(F.col("lang") == "de")
+    merge_profile_into(
+        w, tbl, distinct_profile(de_only, ["lang"], "entity"), ["lang"])
+    got = {r["lang"]: r["approx_distinct"] for r in w.read(tbl).collect()}
+    assert got["en"] == en_before  # untouched group preserved exactly
+    assert set(got) == {"en", "de"}
