@@ -2053,6 +2053,42 @@ WHERE COALESCE(acq.n, 0) <= 2
 ORDER BY n_acq DESC, name ASC LIMIT 15"""
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest view at or
+    before it (LEFT semantics — purchases with no prior view keep
+    NULLs). Single-shuffle union+window plan, oracle'd against DuckDB's
+    native ASOF LEFT JOIN."""
+    from pyspark.sql import Window
+
+    from gitnexus_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    v = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts") \
+        .withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") == 1).drop("_rn")
+    out = asof_join(p, v, ["user_id"])
+    return (out.select(
+        "event_id", "user_id",
+        F.col("r_event_id").alias("prior_view_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("r_ts"))
+        .cast("bigint").alias("gap_s"))
+        .orderBy("event_id"))
+
+
+SQL_ASOF_JOIN_EVENTS = """WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+SELECT p.event_id, p.user_id, v.event_id AS prior_view_id,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned exact membership flag: which documents' content
     hashes appear in a contamination list (every 37th doc). The bloom
@@ -2277,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ivf_at_rest": q_similarity_ivf_at_rest,
         "snapshot_merge": q_snapshot_merge,
+        "asof_join_events": q_asof_join_events,
         "bloom_decontaminate": q_bloom_decontaminate,
         "sketch_distinct_rollup": q_sketch_distinct_rollup,
         "sketch_overlap_langs": q_sketch_overlap_langs,
@@ -2350,6 +2387,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_ivf": _sql_ann_ivf(),
         "similarity_ivf_at_rest": _sql_ann_ivf(),
         "snapshot_merge": SQL_SNAPSHOT_MERGE,
+        "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "sketch_distinct_rollup": SQL_SKETCH_DISTINCT,
         "sketch_overlap_langs": SQL_SKETCH_OVERLAP,
