@@ -2089,6 +2089,28 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 ORDER BY p.event_id"""
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: CUBE over (event_type, user cohort) with
+    GROUPING_ID to disambiguate the aggregation level of each row —
+    Catalyst expands the sets and partial-aggregates them in one pass
+    (no N scans for N grains)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.withColumn("cohort", (F.col("user_id") % 7).cast("int"))
+            .cube("event_type", "cohort")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.grouping_id().alias("gid"))
+            .orderBy("gid", "event_type", "cohort"))
+
+
+SQL_EVENTS_CUBE = """WITH e AS (
+  SELECT event_type, CAST(user_id % 7 AS INT) AS cohort, user_id FROM events)
+SELECT event_type, cohort, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       CAST(GROUPING_ID(event_type, cohort) AS BIGINT) AS gid
+FROM e GROUP BY CUBE(event_type, cohort)
+ORDER BY gid, event_type, cohort"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned exact membership flag: which documents' content
     hashes appear in a contamination list (every 37th doc). The bloom
@@ -2314,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_at_rest": q_similarity_ivf_at_rest,
         "snapshot_merge": q_snapshot_merge,
         "asof_join_events": q_asof_join_events,
+        "events_cube": q_events_cube,
         "bloom_decontaminate": q_bloom_decontaminate,
         "sketch_distinct_rollup": q_sketch_distinct_rollup,
         "sketch_overlap_langs": q_sketch_overlap_langs,
@@ -2388,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_at_rest": _sql_ann_ivf(),
         "snapshot_merge": SQL_SNAPSHOT_MERGE,
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+        "events_cube": SQL_EVENTS_CUBE,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "sketch_distinct_rollup": SQL_SKETCH_DISTINCT,
         "sketch_overlap_langs": SQL_SKETCH_OVERLAP,
