@@ -2017,6 +2017,44 @@ FROM dests JOIN documents USING (doc_id)
 GROUP BY url ORDER BY url"""
 
 
+def q_kg_cypher_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath through the Cypher front-end: minimum LINKS_TO hop
+    count from doc 0's page to every page reachable in <= 4 hops — one
+    row per destination (Cypher shortestPath multiplicity), oracle'd by
+    a recursive-CTE BFS over the link arithmetic."""
+    from gitnexus_spark.cypher import cypher_query
+
+    out = _run_full_pipeline(spark, sf_dir)
+    return cypher_query(
+        out["nodes"], out["edges"],
+        "MATCH p = shortestPath((a:Page)-[:LINKS_TO*1..4]->(b:Page)) "
+        "WHERE a.url ENDS WITH '/p0.html' "
+        "RETURN b.url AS url, length(p) AS hops ORDER BY hops, url LIMIT 20",
+        auto_limit=None)
+
+
+# LINKS_TO targets of doc d are (d*3+1)%n and (d*11+7)%n, deduplicated,
+# self-links dropped; BFS distance within 4 hops. The start page cannot
+# be its own destination (paths are node-distinct).
+SQL_KG_CYPHER_SHORTEST = f"""WITH RECURSIVE
+n AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (SELECT DISTINCT d, t FROM (
+    SELECT doc_id AS d, (doc_id*3+1) % n.n AS t FROM documents, n
+    UNION ALL
+    SELECT doc_id, (doc_id*11+7) % n.n FROM documents, n)
+  WHERE t <> d),
+bfs(v, dist) AS (
+    SELECT t, 1 FROM edges WHERE d = 0
+    UNION ALL
+    SELECT e.t, b.dist + 1 FROM bfs b JOIN edges e ON e.d = b.v
+    WHERE b.dist < 4),
+md AS (SELECT v AS doc_id, MIN(dist) AS hops FROM bfs WHERE v <> 0
+       GROUP BY v)
+SELECT {{url}} AS url, CAST(hops AS INT) AS hops
+FROM md JOIN documents USING (doc_id)
+ORDER BY hops, url LIMIT 20""".replace("{url}", SQL_URL)
+
+
 def q_kg_cypher_optional_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIONAL MATCH + WITH...WHERE (HAVING) through the Cypher
     front-end: per-entity outgoing-ACQUIRED degree INCLUDING zeros
@@ -2293,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_acquired": q_kg_cypher_acquired,
         "kg_cypher_varlen": q_kg_cypher_varlen,
         "kg_cypher_optional_with": q_kg_cypher_optional_with,
+        "kg_cypher_shortest": q_kg_cypher_shortest,
         "archive_pages": q_archive_pages,
         "embedding_near_dup": q_embedding_near_dup,
         "kg_span_attribution": q_kg_span_attribution,
@@ -2361,6 +2400,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cypher_acquired": SQL_KG_CYPHER_ACQUIRED,
         "kg_cypher_varlen": SQL_KG_CYPHER_VARLEN,
         "kg_cypher_optional_with": SQL_KG_CYPHER_OPTIONAL_WITH,
+        "kg_cypher_shortest": SQL_KG_CYPHER_SHORTEST,
         "kg_two_hop": SQL_KG_TWO_HOP,
         "kg_two_hop_bucketed": SQL_KG_TWO_HOP,
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,

@@ -32,8 +32,13 @@ class RelPat:
 
 @dataclass
 class Pattern:
-    """Alternating [NodePat, RelPat, NodePat, ...] (odd length >= 1)."""
+    """Alternating [NodePat, RelPat, NodePat, ...] (odd length >= 1).
+    path_var/shortest support ``p = shortestPath((a)-[:T*1..n]->(b))``:
+    one row per reachable (a, b) pair at the MINIMUM hop count, exposed
+    to RETURN via ``length(p)``."""
     elements: list
+    path_var: str | None = None
+    shortest: bool = False
 
 
 # --- WHERE expressions ----------------------------------------------------
@@ -51,6 +56,12 @@ class Prop:
 
 @dataclass
 class VarRef:
+    var: str
+
+
+@dataclass
+class PathLen:
+    """length(p) over a shortestPath path variable."""
     var: str
 
 

@@ -31,6 +31,10 @@ src/core/graph/query.ts:97-197):
   scalars referencable by name, aggregates use the same implicit
   grouping as RETURN, and a WHERE after WITH filters the projected
   frame (Cypher's HAVING).
+- ``p = shortestPath((a)-[:T*1..n]->(b))`` yields ONE row per reachable
+  (a, b) pair at the minimum hop count (``length(p)``); node lists are
+  not exposed — operators/graph_queries.paths_between is the analogue
+  that materializes the hops (reference query.ts:154).
 """
 
 from __future__ import annotations
@@ -41,8 +45,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .ast import (BoolOp, Cmp, ExistsPat, IsNull, Lit, MatchClause, NodePat,
-                  Not, Pattern, Prop, Query, RelPat, ReturnItem, StrPred,
-                  VarRef, WithClause)
+                  Not, PathLen, Pattern, Prop, Query, RelPat, ReturnItem,
+                  StrPred, VarRef, WithClause)
 from .parser import parse
 
 MAX_VARLEN_HOPS = 5   # reference clamp, query-optimization.ts:412-422
@@ -91,12 +95,12 @@ class _PatternBuilder:
             sel.append(F.col("type").alias(_ncol(rel.var, "type")))
         return e.select(*sel)
 
-    def varlen_pairs(self, rel: RelPat) -> DataFrame:
-        """(_from, _to) with one row per node-distinct path of length in
-        [min_hops, max_hops]. Bounded driver loop; localCheckpoint per
-        level cuts the lineage like the existing traversal operators."""
+    def _expand_levels(self, rel: RelPat) -> dict[int, DataFrame]:
+        """Level-synchronous node-distinct path expansion: {length:
+        paths} for lengths 1..min(max_hops, cap). Bounded driver loop;
+        localCheckpoint per level cuts the lineage like the existing
+        traversal operators."""
         max_h = min(rel.max_hops, MAX_VARLEN_HOPS)
-        min_h = rel.min_hops
         e = self.edge_frame(RelPat(rel.rtype, rel.direction)) \
             .dropDuplicates(["_from", "_to"]).persist()
         cur = e.filter(F.col("_from") != F.col("_to")).select(
@@ -118,15 +122,33 @@ class _PatternBuilder:
                 break
             levels[length] = cur
         e.unpersist()
+        return levels
+
+    def varlen_pairs(self, rel: RelPat) -> DataFrame:
+        """(_from, _to) with one row per node-distinct path of length in
+        [min_hops, max_hops]."""
+        levels = self._expand_levels(rel)
         out = None
         for length, lv in levels.items():
-            if length < min_h:
+            if length < rel.min_hops:
                 continue
             lv = lv.select("_from", "_to")
             out = lv if out is None else out.unionByName(lv)
         if out is None:
             return levels[1].filter(F.lit(False)).select("_from", "_to")
         return out
+
+    def shortest_pairs(self, rel: RelPat) -> DataFrame:
+        """(_from, _to, _len) — ONE row per reachable pair at the
+        minimum hop count (Cypher shortestPath multiplicity). The
+        shortest path is always simple, so the min over node-distinct
+        paths equals the true BFS distance within the hop cap."""
+        levels = self._expand_levels(rel)
+        out = None
+        for length, lv in levels.items():
+            lv = lv.select("_from", "_to", F.lit(length).alias("_len"))
+            out = lv if out is None else out.unionByName(lv)
+        return out.groupBy("_from", "_to").agg(F.min("_len").alias("_len"))
 
     def build(self, pattern: Pattern, bound: DataFrame | None) -> DataFrame:
         """Compile one pattern, joining against already-bound vars."""
@@ -154,7 +176,9 @@ class _PatternBuilder:
         for i in range(1, len(elems), 2):
             rel: RelPat = elems[i]
             node: NodePat = elems[i + 1]
-            if rel.min_hops is not None:
+            if pattern.shortest:
+                pairs = self.shortest_pairs(rel)
+            elif rel.min_hops is not None:
                 pairs = self.varlen_pairs(rel)
             else:
                 pairs = self.edge_frame(rel)
@@ -174,6 +198,12 @@ class _PatternBuilder:
                 cur = cur.join(nf, cur["_to"] == nf[_ncol(var, "id")]) \
                          .drop("_to")
             prev = var
+        if pattern.shortest:
+            if pattern.path_var:
+                cur = cur.withColumnRenamed(
+                    "_len", _ncol(pattern.path_var, "len"))
+            else:
+                cur = cur.drop("_len")
         return cur
 
 
@@ -194,6 +224,13 @@ def _compile_value(expr, df_cols: list[str]) -> Column:
         if expr.var in df_cols:
             return F.col(expr.var)
         raise CypherCompileError(f"unbound variable {expr.var!r}")
+    if isinstance(expr, PathLen):
+        c = _ncol(expr.var, "len")
+        if c not in df_cols:
+            raise CypherCompileError(
+                f"length({expr.var}): {expr.var!r} is not a bound "
+                "shortestPath path variable")
+        return F.col(c)
     raise CypherCompileError(f"cannot compile value {expr!r}")
 
 
@@ -254,6 +291,8 @@ def _plain_name(e) -> str:
         return f"{e.var}.{e.key}"
     if isinstance(e, VarRef):
         return e.var
+    if isinstance(e, PathLen):
+        return f"length({e.var})"
     if isinstance(e, Lit):
         return str(e.value)
     return "expr"

@@ -6,13 +6,13 @@ Grammar (case-insensitive keywords)::
                  [ORDER BY oitem (',' oitem)*] [SKIP INT] [LIMIT INT]
     reading   := [OPTIONAL] MATCH pattern (',' pattern)* [WHERE expr]
                | WITH [DISTINCT] item (',' item)* [WHERE expr]
-    pattern   := node (rel node)*
+    pattern   := [IDENT '='] [SHORTESTPATH '('] node (rel node)* [')']
     node      := '(' [IDENT] [':' IDENT] [props] ')'
     props     := '{' IDENT ':' literal (',' IDENT ':' literal)* '}'
     rel       := '-' '[' [IDENT] [':' IDENT] ['*' INT '..' INT] ']' '->'
                | '<-' '[' ... ']' '-'
     item      := (AGGFN '(' [DISTINCT] arg ')' | arg) [AS IDENT]
-    arg       := IDENT ['.' IDENT] | '*'
+    arg       := IDENT ['.' IDENT] | LENGTH '(' IDENT ')' | '*'
     expr      := or_expr;  the usual precedence NOT > comparison > AND > OR
     primary   := prop | literal | '(' expr ')' | EXISTS '(' pattern ')'
 
@@ -26,8 +26,8 @@ from __future__ import annotations
 import re
 
 from .ast import (AGG_FNS, BoolOp, Cmp, ExistsPat, IsNull, Lit, MatchClause,
-                  NodePat, Not, OrderItem, Pattern, Prop, Query, RelPat,
-                  ReturnItem, StrPred, VarRef, WithClause)
+                  NodePat, Not, OrderItem, PathLen, Pattern, Prop, Query,
+                  RelPat, ReturnItem, StrPred, VarRef, WithClause)
 
 
 class CypherSyntaxError(ValueError):
@@ -203,11 +203,30 @@ class _Parser:
         return val
 
     def pattern(self) -> Pattern:
+        path_var = None
+        shortest = False
+        if self.peek()[0] == "name" and self.peek(1)[:2] == ("op", "="):
+            path_var = self.ident()
+            self.next()  # '='
+        kind, val, _ = self.peek()
+        if kind == "name" and val.lower() == "shortestpath" \
+                and self.peek(1)[:2] == ("op", "("):
+            self.next()
+            self.eat_op("(")
+            shortest = True
+        elif path_var is not None:
+            self.error("path variables are only supported with shortestPath")
         elems: list = [self.node_pat()]
         while self.at_op("-") or self.at_op("<-"):
             elems.append(self.rel_pat())
             elems.append(self.node_pat())
-        return Pattern(elems)
+        if shortest:
+            self.eat_op(")")
+            if len(elems) != 3 or elems[1].min_hops is None:
+                raise CypherSyntaxError(
+                    "shortestPath takes a single variable-length "
+                    "relationship: (a)-[:T*1..n]->(b)")
+        return Pattern(elems, path_var, shortest)
 
     def node_pat(self) -> NodePat:
         self.eat_op("(")
@@ -302,9 +321,15 @@ class _Parser:
         return ReturnItem(expr, agg, agg_distinct, alias)
 
     def value_ref(self):
-        """IDENT['.'IDENT] or literal."""
+        """IDENT['.'IDENT] | length(IDENT) | literal."""
         kind, val, _ = self.peek()
         if kind == "name":
+            if val.lower() == "length" and self.peek(1)[:2] == ("op", "("):
+                self.next()
+                self.eat_op("(")
+                inner = PathLen(self.ident())
+                self.eat_op(")")
+                return inner
             var = self.ident()
             if self.at_op("."):
                 self.next()

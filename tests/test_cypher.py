@@ -278,3 +278,43 @@ def test_with_distinct_var(graph):
 def test_optional_with_compile_errors(graph, bad):
     with pytest.raises((CypherCompileError, CypherSyntaxError)):
         run(graph, bad)
+
+
+# --- shortestPath ---------------------------------------------------------
+
+def test_shortest_path_lengths(graph):
+    """Graph: n1->n2, n2->n3, n1->n3, n3->n1. From n1: n2 and n3 at 1.
+    From n2: n3 at 1, n1 at 2 (via n3). One row per pair, min length."""
+    out = run(graph,
+              "MATCH p = shortestPath((a:Page)-[:LINKS_TO*1..4]->(b:Page)) "
+              "WHERE a.name = 'about' "
+              "RETURN b.name AS name, length(p) AS hops ORDER BY name")
+    assert rows(out) == [("blog", 1), ("home", 2)]
+
+
+def test_shortest_path_one_row_per_pair(graph):
+    # n1->n3 direct AND via n2: still a single row at length 1
+    out = run(graph,
+              "MATCH p = shortestPath((a:Page {name: 'home'})"
+              "-[:LINKS_TO*1..4]->(b:Page {name: 'blog'})) "
+              "RETURN length(p) AS hops")
+    assert rows(out) == [(1,)]
+
+
+def test_shortest_path_excludes_self(graph):
+    # cycles can't return to the start (node-distinct) -> no (x, x) row
+    out = run(graph,
+              "MATCH p = shortestPath((a:Page {name: 'home'})"
+              "-[:LINKS_TO*1..4]->(b:Page {name: 'home'})) "
+              "RETURN length(p) AS hops")
+    assert rows(out) == []
+
+
+@pytest.mark.parametrize("bad", [
+    "MATCH p = (a)-[:T]->(b) RETURN a.name",           # path var w/o shortestPath
+    "MATCH p = shortestPath((a)-[:T]->(b)) RETURN 1",  # not variable-length
+    "MATCH (a:Page) RETURN length(a)",                 # not a path var
+])
+def test_shortest_path_errors(graph, bad):
+    with pytest.raises((CypherCompileError, CypherSyntaxError)):
+        run(graph, bad)
