@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.sketches import DEFAULT_LG_K, distinct_profile
+from ..operators.sketches import (DEFAULT_LG_K, distinct_profile,
+                                  quantile_profile)
 from ..sources.snapshots import SnapshotWriter
 
 
@@ -52,6 +53,33 @@ def merge_profile_into(writer: SnapshotWriter, table_path: str,
               .agg(F.hll_union_agg("sketch").alias("sketch"))
               .withColumn("approx_distinct",
                           F.hll_sketch_estimate("sketch")))
+    return writer.replace_into(table_path, merged, match_cols=group_cols,
+                               tag=tag)
+
+
+def merge_quantile_profile_into(writer: SnapshotWriter, table_path: str,
+                                delta: DataFrame, group_cols: list[str],
+                                tag: str | None = None) -> int:
+    """Fold a delta quantile_profile (qsketch, n) into the at-rest
+    table. KLL is fully mergeable too, and here each group merges
+    exactly TWO sketches (stored + delta), so the pairwise
+    kll_sketch_merge_bigint suffices — no fold. The exact row count
+    ``n`` is additive, giving a free self-check column."""
+    if not writer.exists(table_path):
+        return writer.write(delta, table_path, op="profile", tag=tag)
+    old = writer.read(table_path)
+    keys = delta.select(*group_cols).dropDuplicates(group_cols)
+    changed = old.join(keys, group_cols, "left_semi") \
+        .select(*group_cols, F.col("qsketch").alias("_old_sk"),
+                F.col("n").alias("_old_n"))
+    merged = (delta.join(changed, group_cols, "left")
+              .select(
+                  *group_cols,
+                  F.when(F.col("_old_sk").isNull(), F.col("qsketch"))
+                  .otherwise(F.kll_sketch_merge_bigint("_old_sk", "qsketch"))
+                  .alias("qsketch"),
+                  (F.coalesce(F.col("_old_n"), F.lit(0)) + F.col("n"))
+                  .alias("n")))
     return writer.replace_into(table_path, merged, match_cols=group_cols,
                                tag=tag)
 
@@ -90,6 +118,34 @@ def start_distinct_profile_stream(stream_df: DataFrame, table_path: str,
         delta = distinct_profile(batch_df, group_cols, value_col, lg_k)
         merge_profile_into(writer, table_path, delta, group_cols,
                            tag=f"epoch-{epoch_id}")
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_quantile_profile_stream(stream_df: DataFrame, table_path: str,
+                                  group_cols: list[str], value_col: str,
+                                  checkpoint_dir: str, k: int = 200):
+    """Maintain an at-rest KLL quantile profile of a stream (same
+    epoch-guarded commit discipline as the distinct profile; KLL merges
+    are NOT idempotent — replaying a batch would double-count — so the
+    guard is load-bearing here, not belt-and-braces)."""
+    spark = stream_df.sparkSession
+    writer = SnapshotWriter(spark)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if epoch_id <= _last_epoch(writer, table_path):
+            return
+        delta = quantile_profile(batch_df, group_cols, value_col, k)
+        merge_quantile_profile_into(writer, table_path, delta, group_cols,
+                                    tag=f"epoch-{epoch_id}")
 
     return (
         stream_df.writeStream

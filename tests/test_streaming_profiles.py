@@ -95,3 +95,37 @@ def test_partial_group_delta_keeps_other_groups(spark, tmp_path):
     got = {r["lang"]: r["approx_distinct"] for r in w.read(tbl).collect()}
     assert got["en"] == en_before  # untouched group preserved exactly
     assert set(got) == {"en", "de"}
+
+
+def test_quantile_profile_stream(spark, dirs):
+    """Maintained KLL profile: exact n per group, quantiles within the
+    rank-error envelope of the full data."""
+    from gitnexus_spark.operators.sketches import rollup_quantiles
+    from gitnexus_spark.streaming.profiles import \
+        start_quantile_profile_stream
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+            (F.col("id") % 1000).alias("tokens"))
+
+    mk(0, 3000).coalesce(1).write.mode("append").parquet(dirs["in"])
+    mk(3000, 8000).coalesce(1).write.mode("append").parquet(dirs["in"])
+    stream = (spark.readStream.schema("lang string, tokens long")
+              .option("maxFilesPerTrigger", 1).parquet(dirs["in"]))
+    q = start_quantile_profile_stream(
+        stream, dirs["tbl"], ["lang"], "tokens", dirs["ckpt"])
+    q.awaitTermination(120)
+
+    w = SnapshotWriter(spark)
+    prof = w.read(dirs["tbl"])
+    n_by_lang = {r["lang"]: r["n"] for r in prof.collect()}
+    want_n = {r["lang"]: r["cnt"] for r in
+              mk(0, 8000).groupBy("lang")
+              .agg(F.count("*").alias("cnt")).collect()}
+    assert n_by_lang == want_n  # exact additive counts
+    med = {r["lang"]: r["q_0_5"] for r in
+           rollup_quantiles(prof, ["lang"], [0.5]).collect()}
+    for v in med.values():
+        # tokens uniform over 0..999 in every batch -> median ~ 500
+        assert abs(v - 500) <= 40, med
