@@ -2127,6 +2127,34 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 ORDER BY p.event_id"""
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-frame + offset window functions per user event stream:
+    3-row trailing sum (integer cents for cross-engine determinism),
+    LAG of the previous event type, LEAD of the next event id."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("cents", F.floor(F.col("value") * 100))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(
+        "event_id", "user_id",
+        F.sum("cents").over(w.rowsBetween(-2, 0)).alias("roll_cents"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_id").over(w).alias("next_event_id"))
+        .orderBy("event_id"))
+
+
+SQL_EVENTS_ROLLING = """WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_id, user_id,
+  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+  LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+FROM e ORDER BY event_id"""
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: CUBE over (event_type, user cohort) with
     GROUPING_ID to disambiguate the aggregation level of each row —
@@ -2376,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge": q_snapshot_merge,
         "asof_join_events": q_asof_join_events,
         "events_cube": q_events_cube,
+        "events_rolling": q_events_rolling,
         "bloom_decontaminate": q_bloom_decontaminate,
         "sketch_distinct_rollup": q_sketch_distinct_rollup,
         "sketch_overlap_langs": q_sketch_overlap_langs,
@@ -2452,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_merge": SQL_SNAPSHOT_MERGE,
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "events_cube": SQL_EVENTS_CUBE,
+        "events_rolling": SQL_EVENTS_ROLLING,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "sketch_distinct_rollup": SQL_SKETCH_DISTINCT,
         "sketch_overlap_langs": SQL_SKETCH_OVERLAP,
