@@ -80,6 +80,14 @@ class StrPred:
 
 
 @dataclass
+class InList:
+    """expr IN [lit, ...]"""
+    left: object
+    values: list
+    negated: bool = False
+
+
+@dataclass
 class IsNull:
     expr: object
     negated: bool = False
@@ -137,6 +145,13 @@ class WithClause:
     items: list                # list[ReturnItem]
     where: object | None = None
     distinct: bool = False
+
+
+@dataclass
+class UnwindClause:
+    """UNWIND [lit, ...] AS alias — one row per list element."""
+    values: list
+    alias: str
 
 
 @dataclass

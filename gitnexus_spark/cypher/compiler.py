@@ -44,9 +44,9 @@ import itertools
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .ast import (BoolOp, Cmp, ExistsPat, IsNull, Lit, MatchClause, NodePat,
-                  Not, PathLen, Pattern, Prop, Query, RelPat, ReturnItem,
-                  StrPred, VarRef, WithClause)
+from .ast import (BoolOp, Cmp, ExistsPat, InList, IsNull, Lit, MatchClause,
+                  NodePat, Not, PathLen, Pattern, Prop, Query, RelPat,
+                  ReturnItem, StrPred, UnwindClause, VarRef, WithClause)
 from .parser import parse
 
 MAX_VARLEN_HOPS = 5   # reference clamp, query-optimization.ts:412-422
@@ -259,6 +259,9 @@ def _compile_pred(expr, df_cols: list[str]) -> Column:
     if isinstance(expr, IsNull):
         c = _compile_value(expr.expr, df_cols)
         return c.isNotNull() if expr.negated else c.isNull()
+    if isinstance(expr, InList):
+        c = _compile_value(expr.left, df_cols).isin(expr.values)
+        return ~c if expr.negated else c
     if isinstance(expr, ExistsPat):
         raise CypherCompileError(
             "EXISTS(...) is only supported as a top-level WHERE conjunct "
@@ -457,6 +460,13 @@ def compile_query(q: Query, nodes: DataFrame, edges: DataFrame) -> DataFrame:
                            distinct=cl.distinct, with_mode=True)
             if cl.where is not None:
                 cur = _apply_where(b, cur, cl.where)
+        elif isinstance(cl, UnwindClause):
+            gen = F.explode(
+                F.array(*[F.lit(v) for v in cl.values])).alias(cl.alias)
+            if cur is None:
+                cur = nodes.sparkSession.range(1).select(gen)
+            else:
+                cur = cur.select("*", gen)
         else:  # pragma: no cover
             raise CypherCompileError(f"unknown clause {cl!r}")
 

@@ -6,6 +6,7 @@ Grammar (case-insensitive keywords)::
                  [ORDER BY oitem (',' oitem)*] [SKIP INT] [LIMIT INT]
     reading   := [OPTIONAL] MATCH pattern (',' pattern)* [WHERE expr]
                | WITH [DISTINCT] item (',' item)* [WHERE expr]
+               | UNWIND '[' literal (',' literal)* ']' AS IDENT
     pattern   := [IDENT '='] [SHORTESTPATH '('] node (rel node)* [')']
     node      := '(' [IDENT] [':' IDENT] [props] ')'
     props     := '{' IDENT ':' literal (',' IDENT ':' literal)* '}'
@@ -25,9 +26,10 @@ from __future__ import annotations
 
 import re
 
-from .ast import (AGG_FNS, BoolOp, Cmp, ExistsPat, IsNull, Lit, MatchClause,
-                  NodePat, Not, OrderItem, PathLen, Pattern, Prop, Query,
-                  RelPat, ReturnItem, StrPred, VarRef, WithClause)
+from .ast import (AGG_FNS, BoolOp, Cmp, ExistsPat, InList, IsNull, Lit,
+                  MatchClause, NodePat, Not, OrderItem, PathLen, Pattern,
+                  Prop, Query, RelPat, ReturnItem, StrPred, UnwindClause,
+                  VarRef, WithClause)
 
 
 class CypherSyntaxError(ValueError):
@@ -47,7 +49,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "match", "where", "return", "distinct", "order", "by", "skip", "limit",
     "as", "and", "or", "not", "contains", "starts", "ends", "with", "is",
-    "null", "true", "false", "exists", "asc", "desc", "optional",
+    "null", "true", "false", "exists", "asc", "desc", "optional", "in",
+    "unwind",
 }
 
 
@@ -137,6 +140,11 @@ class _Parser:
             elif self.at_kw("with"):
                 self.next()
                 clauses.append(self.with_clause())
+            elif self.at_kw("unwind"):
+                self.next()
+                values = self.list_lit()
+                self.eat_kw("as")
+                clauses.append(UnwindClause(values, self.ident()))
             else:
                 break
         if not clauses:
@@ -353,6 +361,15 @@ class _Parser:
             return Lit(None)
         self.error("expected literal")
 
+    def list_lit(self) -> list:
+        self.eat_op("[")
+        vals = [self.literal().value]
+        while self.at_op(","):
+            self.next()
+            vals.append(self.literal().value)
+        self.eat_op("]")
+        return vals
+
     def order_item(self) -> OrderItem:
         expr = self.value_ref()
         asc = True
@@ -410,6 +427,14 @@ class _Parser:
         if kind == "op" and val in ("=", "<>", "<", "<=", ">", ">="):
             self.next()
             return Cmp(val, left, self.value_ref())
+        if self.at_kw("not") and self.peek(1)[0] == "kw" \
+                and self.peek(1)[1].lower() == "in":
+            self.next()
+            self.next()
+            return InList(left, self.list_lit(), negated=True)
+        if self.at_kw("in"):
+            self.next()
+            return InList(left, self.list_lit())
         if self.at_kw("contains"):
             self.next()
             return StrPred("contains", left, self.value_ref())

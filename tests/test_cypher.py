@@ -318,3 +318,31 @@ def test_shortest_path_excludes_self(graph):
 def test_shortest_path_errors(graph, bad):
     with pytest.raises((CypherCompileError, CypherSyntaxError)):
         run(graph, bad)
+
+
+# --- IN lists / UNWIND ----------------------------------------------------
+
+def test_in_list_predicate(graph):
+    out = run(graph,
+              "MATCH (p:Page) WHERE p.name IN ['home', 'blog', 'nope'] "
+              "RETURN p.name AS name ORDER BY name")
+    assert rows(out) == [("blog",), ("home",)]
+    out2 = run(graph,
+               "MATCH (p:Page) WHERE p.name NOT IN ['home', 'blog'] "
+               "RETURN p.name AS name ORDER BY name")
+    assert rows(out2) == [("about",), ("orphan",)]
+
+
+def test_unwind_correlated_match(graph):
+    out = run(graph,
+              "UNWIND ['home', 'orphan', 'ghost'] AS nm "
+              "MATCH (p:Page) WHERE p.name = nm "
+              "RETURN p.name AS name ORDER BY name")
+    assert rows(out) == [("home",), ("orphan",)]
+
+
+def test_unwind_standalone_and_agg(graph):
+    out = run(graph,
+              "UNWIND [3, 1, 2, 3] AS x RETURN COUNT(x) AS n, "
+              "COLLECT(DISTINCT x) AS xs")
+    assert rows(out) == [(4, [1, 2, 3])]
