@@ -95,3 +95,24 @@ def test_single_exchange_plan(spark, sides):
     body = plan.split("===== Subqueries =====")[0]
     n_exchanges = body.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan  # one per union branch pre-AQE at most
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_randomized_equivalence(spark, direction):
+    """Seeded random instance: 60 keys, colliding timestamps, sparse
+    keys on either side — must match brute force exactly."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    left = spark.createDataFrame(
+        [(int(i), int(rng.randint(0, 60)), _ts(int(rng.randint(0, 500))))
+         for i in range(2000)], "lid long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(int(1_000_000 + i), int(rng.randint(0, 50)),
+          _ts(int(rng.randint(0, 500))), f"v{rng.randint(0, 9)}")
+         for i in range(1500)], "rid long, user long, ts timestamp, val string")
+    got = {r["lid"]: (r["r_rid"], r["r_val"])
+           for r in asof_join(left, right, ["user"],
+                              direction=direction).collect()}
+    want = {r["lid"]: (r["r_rid"], r["r_val"])
+            for r in _brute(spark, left, right, direction).collect()}
+    assert got == want
