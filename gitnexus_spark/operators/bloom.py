@@ -18,8 +18,9 @@ SQL functions, so the filter is built DataFrame-native with the hashing
 kept JVM-side in both phases: the k probe positions are
 ``pmod(xxhash64(key, seed_i), m)`` columns (whole-stage codegen), the
 build ORs per-partition bit arrays produced by one Arrow-batched
-``mapInPandas`` pass (driver receives one m/8-byte row per partition —
-the treeAggregate shape), and the probe is a vectorized bit-gather
+``mapInPandas`` pass and tree-merges them in fanout-32 rounds (the
+driver never holds more than 32 bitmaps, whatever the partition
+count), and the probe is a vectorized bit-gather
 pandas UDF over the broadcast bytes. Python never sees keys or hashes —
 only int64 positions and one uint8 array.
 
@@ -71,32 +72,52 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> Column:
     ])
 
 
+#: Tree-merge fanout for the bloom build: each reduction round ORs up
+#: to this many partition bitmaps per task, so the driver never receives
+#: more than FANOUT bitmaps regardless of input partition count.
+_MERGE_FANOUT = 32
+
+
 def build_bloom(keys: DataFrame, key_col: str, num_bits: int,
                 num_hashes: int) -> bytes:
-    """Distributed bloom build: per-partition uint8 bit arrays ORed on
-    the driver (one m/8-byte row per partition crosses the wire)."""
+    """Distributed bloom build, treeAggregate-shaped: each input
+    partition reduces to one m/8-byte bitmap row, then bitmap rows are
+    OR-merged in fanout-32 rounds until at most one task's worth
+    remains — the driver materializes <= _MERGE_FANOUT bitmaps however
+    many partitions the key scan has. Peak per-task memory is one
+    bitmap (m/8 bytes); size num_bits accordingly."""
     nbytes = num_bits // 8
-    pos_df = keys.select(
-        _positions(F.col(key_col), num_bits, num_hashes).alias("p"))
 
-    def _partition_bits(batches):
+    def _or_reduce(frame_iter, col):
         arr = np.zeros(nbytes, dtype=np.uint8)
         seen = False
-        for pdf in batches:
+        for pdf in frame_iter:
             if len(pdf) == 0:
                 continue
             seen = True
-            pos = np.concatenate([np.asarray(v, dtype=np.int64)
-                                  for v in pdf["p"]])
-            # bitwise_or.at handles duplicate byte indexes; |= would not
-            np.bitwise_or.at(arr, pos >> 3,
-                             np.uint8(1) << (pos & 7).astype(np.uint8))
+            if col == "p":
+                pos = np.concatenate([np.asarray(v, dtype=np.int64)
+                                      for v in pdf["p"]])
+                # bitwise_or.at handles duplicate byte indexes; |= would not
+                np.bitwise_or.at(arr, pos >> 3,
+                                 np.uint8(1) << (pos & 7).astype(np.uint8))
+            else:
+                for b in pdf["bits"]:
+                    arr |= np.frombuffer(b, dtype=np.uint8)
         if seen:
             yield pd.DataFrame({"bits": [arr.tobytes()]})
 
-    rows = pos_df.mapInPandas(_partition_bits, "bits binary").collect()
+    bits = keys.select(
+        _positions(F.col(key_col), num_bits, num_hashes).alias("p")) \
+        .mapInPandas(lambda it: _or_reduce(it, "p"), "bits binary")
+    n_parts = keys.rdd.getNumPartitions()
+    while n_parts > _MERGE_FANOUT:
+        n_parts = (n_parts + _MERGE_FANOUT - 1) // _MERGE_FANOUT
+        bits = bits.repartition(n_parts) \
+            .mapInPandas(lambda it: _or_reduce(it, "bits"), "bits binary")
+
     out = np.zeros(nbytes, dtype=np.uint8)
-    for r in rows:
+    for r in bits.collect():
         out |= np.frombuffer(r["bits"], dtype=np.uint8)
     return out.tobytes()
 

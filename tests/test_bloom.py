@@ -96,3 +96,14 @@ def test_empty_dim(spark, corpus):
     empty = spark.createDataFrame([], "key string")
     assert bloom_semi_join(corpus, empty, "key").count() == 0
     assert bloom_anti_join(corpus, empty, "key").count() == corpus.count()
+
+
+def test_tree_merge_many_partitions(spark):
+    """>32 input partitions exercises the fanout-32 OR-merge rounds;
+    membership must stay exact."""
+    members = spark.range(0, 5000).repartition(80).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("k"))
+    m, h = bloom_params(5000, fpp=0.01)
+    bloom = build_bloom(members, "k", m, h)
+    assert might_contain(members, "k", bloom, m, h) \
+        .filter(~F.col("_bloom_hit")).count() == 0
