@@ -95,15 +95,27 @@ class _PatternBuilder:
             sel.append(F.col("type").alias(_ncol(rel.var, "type")))
         return e.select(*sel)
 
-    def _expand_levels(self, rel: RelPat) -> dict[int, DataFrame]:
+    def _expand_levels(self, rel: RelPat,
+                       seed: DataFrame | None = None) -> dict[int, DataFrame]:
         """Level-synchronous node-distinct path expansion: {length:
         paths} for lengths 1..min(max_hops, cap). Bounded driver loop;
         localCheckpoint per level cuts the lineage like the existing
-        traversal operators."""
+        traversal operators.
+
+        ``seed`` (single column ``_seed_id``) restricts expansion to
+        paths STARTING from those ids. This must be explicit because
+        each level is localCheckpoint'ed — a materialization barrier
+        Catalyst cannot push the downstream anchor join through; without
+        seeding, an anchored pattern would expand from every node and
+        discard almost all of it at the join."""
         max_h = min(rel.max_hops, MAX_VARLEN_HOPS)
         e = self.edge_frame(RelPat(rel.rtype, rel.direction)) \
             .dropDuplicates(["_from", "_to"]).persist()
-        cur = e.filter(F.col("_from") != F.col("_to")).select(
+        lvl1 = e
+        if seed is not None:
+            lvl1 = e.join(seed.withColumnRenamed("_seed_id", "_from"),
+                          "_from", "left_semi")
+        cur = lvl1.filter(F.col("_from") != F.col("_to")).select(
             "_from", "_to", F.array("_from", "_to").alias("_path")) \
             .localCheckpoint()
         levels = {1: cur}
@@ -124,10 +136,11 @@ class _PatternBuilder:
         e.unpersist()
         return levels
 
-    def varlen_pairs(self, rel: RelPat) -> DataFrame:
+    def varlen_pairs(self, rel: RelPat,
+                     seed: DataFrame | None = None) -> DataFrame:
         """(_from, _to) with one row per node-distinct path of length in
         [min_hops, max_hops]."""
-        levels = self._expand_levels(rel)
+        levels = self._expand_levels(rel, seed)
         out = None
         for length, lv in levels.items():
             if length < rel.min_hops:
@@ -138,12 +151,13 @@ class _PatternBuilder:
             return levels[1].filter(F.lit(False)).select("_from", "_to")
         return out
 
-    def shortest_pairs(self, rel: RelPat) -> DataFrame:
+    def shortest_pairs(self, rel: RelPat,
+                       seed: DataFrame | None = None) -> DataFrame:
         """(_from, _to, _len) — ONE row per reachable pair at the
         minimum hop count (Cypher shortestPath multiplicity). The
         shortest path is always simple, so the min over node-distinct
         paths equals the true BFS distance within the hop cap."""
-        levels = self._expand_levels(rel)
+        levels = self._expand_levels(rel, seed)
         out = None
         for length, lv in levels.items():
             lv = lv.select("_from", "_to", F.lit(length).alias("_len"))
@@ -176,10 +190,15 @@ class _PatternBuilder:
         for i in range(1, len(elems), 2):
             rel: RelPat = elems[i]
             node: NodePat = elems[i + 1]
-            if pattern.shortest:
-                pairs = self.shortest_pairs(rel)
-            elif rel.min_hops is not None:
-                pairs = self.varlen_pairs(rel)
+            if pattern.shortest or rel.min_hops is not None:
+                # anchor the iterative expansion on the bound sources —
+                # the per-level checkpoints are opaque to Catalyst, so
+                # this pruning cannot come from the planner
+                seed = cur.select(F.col(_ncol(prev, "id"))
+                                  .alias("_seed_id")) \
+                    .dropDuplicates(["_seed_id"])
+                pairs = (self.shortest_pairs(rel, seed) if pattern.shortest
+                         else self.varlen_pairs(rel, seed))
             else:
                 pairs = self.edge_frame(rel)
             cur = cur.join(pairs, cur[_ncol(prev, "id")] == pairs["_from"]) \

@@ -71,7 +71,10 @@ def overlap_profile(profile: DataFrame, group_col: str) -> DataFrame:
     UNION size, not the overlap — callers comparing small overlaps of
     huge sets should treat near-zero results as "below resolution".
     The pair join is over profile rows (one per group): a self-join of a
-    metadata-sized table, never a corpus shuffle."""
+    metadata-sized table, never a corpus shuffle. It IS quadratic in the
+    number of groups — intended for coarse grains (languages, sources,
+    snapshots); for high-cardinality grains pre-filter to the candidate
+    pairs of interest before calling."""
     a = profile.select(F.col(group_col).alias("group_a"),
                        F.col("sketch").alias("_ska"),
                        F.col("approx_distinct").alias("approx_a"))
