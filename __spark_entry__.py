@@ -2155,6 +2155,29 @@ SELECT event_id, user_id,
 FROM e ORDER BY event_id"""
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-cohort event counts spread into one column per event
+    type (explicit value list — one partial-agg pass, no second scan to
+    discover columns). Oracle recomputes as conditional aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.withColumn("cohort", (F.col("user_id") % 7).cast("int"))
+            .groupBy("cohort")
+            .pivot("event_type",
+                   ["click", "error", "purchase", "signup", "view"])
+            .count()
+            .na.fill(0)
+            .orderBy("cohort"))
+
+
+SQL_EVENTS_PIVOT = """SELECT CAST(user_id % 7 AS INT) AS cohort,
+  COUNT(*) FILTER (event_type = 'click')    AS click,
+  COUNT(*) FILTER (event_type = 'error')    AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup')   AS signup,
+  COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY cohort ORDER BY cohort"""
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: CUBE over (event_type, user cohort) with
     GROUPING_ID to disambiguate the aggregation level of each row —
@@ -2405,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "events_cube": q_events_cube,
         "events_rolling": q_events_rolling,
+        "events_pivot": q_events_pivot,
         "bloom_decontaminate": q_bloom_decontaminate,
         "sketch_distinct_rollup": q_sketch_distinct_rollup,
         "sketch_overlap_langs": q_sketch_overlap_langs,
@@ -2482,6 +2506,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "events_cube": SQL_EVENTS_CUBE,
         "events_rolling": SQL_EVENTS_ROLLING,
+        "events_pivot": SQL_EVENTS_PIVOT,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "sketch_distinct_rollup": SQL_SKETCH_DISTINCT,
         "sketch_overlap_langs": SQL_SKETCH_OVERLAP,
