@@ -2055,6 +2055,56 @@ FROM md JOIN documents USING (doc_id)
 ORDER BY hops, url LIMIT 20""".replace("{url}", SQL_URL)
 
 
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the (3d+1)-family LINKS_TO
+    subgraph — a pure permutation, so its SCCs are the permutation's
+    cycles (14 of them at sf0.01: sizes 100x4, 20x4, 4x4, 2x2), a much
+    sharper oracle than the full graph's single giant SCC. scc_id = the
+    component's minimum URL; oracle recomputes mutual reachability with
+    a recursive closure."""
+    from gitnexus_spark.operators.scc import strongly_connected_components
+
+    out = _run_full_pipeline(spark, sf_dir)
+    pages = out["nodes"].filter(F.col("label") == "Page") \
+        .select("id", "url") \
+        .withColumn("num", F.regexp_extract("url", r"p(\d+)\.html$", 1)
+                    .cast("long"))
+    total = pages.count()
+    links = (out["edges"].filter(F.col("type") == "LINKS_TO")
+             .join(pages.select(F.col("id").alias("src"),
+                                F.col("url").alias("src_url"),
+                                F.col("num").alias("src_num")), "src")
+             .join(pages.select(F.col("id").alias("dst"),
+                                F.col("url").alias("dst_url"),
+                                F.col("num").alias("dst_num")), "dst")
+             .filter(F.col("dst_num") == (F.col("src_num") * 3 + 1) % total))
+    scc = strongly_connected_components(
+        links.select(F.col("src_url").alias("src"),
+                     F.col("dst_url").alias("dst")),
+        nodes=pages.select("url"))
+    return scc.select(F.col("v").alias("url"), "scc_id").orderBy("url")
+
+
+SQL_KG_SCC = f"""WITH RECURSIVE
+n AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (SELECT doc_id AS d, (doc_id*3+1) % n.n AS t FROM documents, n
+          WHERE (doc_id*3+1) % n.n <> doc_id),
+reach(s, t) AS (
+    SELECT d, t FROM edges
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.d = r.t),
+mutual AS (SELECT r1.s AS v, r1.t AS u
+           FROM reach r1 JOIN reach r2 ON r1.s = r2.t AND r1.t = r2.s),
+urls AS (SELECT doc_id, {{url}} AS url FROM documents),
+scc AS (SELECT u1.doc_id AS v, LEAST(u1.url, MIN(u2.url)) AS scc_id
+        FROM urls u1 JOIN mutual m ON m.v = u1.doc_id
+        JOIN urls u2 ON u2.doc_id = m.u
+        GROUP BY u1.doc_id, u1.url)
+SELECT u.url, COALESCE(s.scc_id, u.url) AS scc_id
+FROM urls u LEFT JOIN scc s ON s.v = u.doc_id
+ORDER BY url""".replace("{url}", SQL_URL)
+
+
 def q_kg_cypher_optional_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIONAL MATCH + WITH...WHERE (HAVING) through the Cypher
     front-end: per-entity outgoing-ACQUIRED degree INCLUDING zeros
@@ -2378,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_nodes": q_kg_search_nodes,
         "kg_fuzzy_locality": q_kg_fuzzy_locality,
         "kg_triangles": q_kg_triangles,
+        "kg_scc": q_kg_scc,
         "kg_cypher_top_mentions": q_kg_cypher_top_mentions,
         "kg_cypher_acquired": q_kg_cypher_acquired,
         "kg_cypher_varlen": q_kg_cypher_varlen,
@@ -2449,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_counts": SQL_KG_EDGE_COUNTS,
         "kg_top_entities": SQL_KG_TOP_ENTITIES,
         "kg_triangles": SQL_KG_TRIANGLES,
+        "kg_scc": SQL_KG_SCC,
         "kg_cypher_top_mentions": SQL_KG_TOP_ENTITIES,
         "kg_cypher_acquired": SQL_KG_CYPHER_ACQUIRED,
         "kg_cypher_varlen": SQL_KG_CYPHER_VARLEN,

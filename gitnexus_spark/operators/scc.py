@@ -1,0 +1,108 @@
+"""Strongly connected components of a directed graph (node values must
+be orderable — urls, ids): (v, scc_id) with scc_id = the MINIMUM member
+of v's SCC, so ids are deterministic and engine-independent.
+
+Algorithm: FW-BW min-label coloring. Each outer round computes
+
+    fwd(v) = min node value over {v} + all nodes that can REACH v
+    bwd(v) = min node value over {v} + all nodes v can reach
+
+A node with fwd(v) == bwd(v) == p has p as both ancestor and
+descendant, i.e. p is in v's SCC and (being the min over a superset of
+the SCC) p = min(SCC(v)) — so the equality test assigns COMPLETE SCCs,
+never fragments. Assigned nodes and their edges are removed and the
+round repeats; the global-min node's SCC always satisfies the test, so
+every round makes progress (<= #SCC rounds; on most graphs one or two —
+the synthetic web graph finishes in one).
+
+The min-label propagation is level-synchronous edge relaxation PLUS
+pointer jumping (lbl(v) <- min(lbl(v), lbl(lbl(v))): my best ancestor's
+best ancestor is also my ancestor), which collapses convergence from
+O(longest cycle) to O(log) rounds — a 100-cycle converges in ~20
+iterations instead of 100. Per iteration: one edge join + partial-agg
+min, one self-join on the label, one localCheckpoint to cut lineage.
+
+100 TB posture: work per iteration is O(|E|) with a single shuffle on
+the label key; the whole frontier state is two columns per node. For
+web-scale graphs prefer trimming leaves first (degree-0 peeling) and
+expect few outer rounds — the worst case (a long path of singleton
+SCCs ordered against the propagation direction) degrades to multiple
+outer rounds, which max_outer bounds with a hard error, never a silent
+wrong answer. Reference analogue: none (GitNexus has no SCC); this
+extends the same traversal family as operators/components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_reach(init: DataFrame, edges: DataFrame,
+               max_iters: int) -> DataFrame:
+    """Fixpoint of lbl(v) = min({v} + labels of in-neighbors + label of
+    the label's node). init: (v, lbl); edges: (s, t)."""
+    lbl = init.localCheckpoint()
+    for _ in range(max_iters):
+        edge_min = (edges.join(
+            lbl.select(F.col("v").alias("s"), F.col("lbl").alias("_l")), "s")
+            .groupBy(F.col("t").alias("v"))
+            .agg(F.min("_l").alias("_edge_min")))
+        jump = lbl.select(F.col("v").alias("_pv"),
+                          F.col("lbl").alias("_jump_min"))
+        cur = (lbl.join(edge_min, "v", "left")
+               .join(jump, F.col("lbl") == F.col("_pv"), "left")
+               .select("v", "lbl",
+                       F.least("lbl", "_edge_min", "_jump_min")
+                       .alias("_new")))
+        cur = cur.localCheckpoint()
+        changed = cur.filter(F.col("_new") != F.col("lbl")).count()
+        lbl = cur.select("v", F.col("_new").alias("lbl"))
+        if changed == 0:
+            return lbl
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iters} iterations")
+
+
+def strongly_connected_components(edges: DataFrame, src: str = "src",
+                                  dst: str = "dst",
+                                  nodes: DataFrame | None = None,
+                                  max_outer: int = 20,
+                                  max_iters: int = 60) -> DataFrame:
+    """-> (v, scc_id). ``nodes`` (single column, any name) optionally
+    widens the universe beyond edge endpoints — isolated nodes become
+    their own singleton SCCs."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")) \
+        .where(F.col("s") != F.col("t")).distinct().localCheckpoint()
+    universe = e.select(F.col("s").alias("v")) \
+        .union(e.select(F.col("t").alias("v")))
+    if nodes is not None:
+        universe = universe.union(
+            nodes.select(F.col(nodes.columns[0]).alias("v")))
+    remaining = universe.distinct().localCheckpoint()
+    result: DataFrame | None = None
+    for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        init = remaining.withColumn("lbl", F.col("v"))
+        fwd = _min_reach(init, e, max_iters)
+        bwd = _min_reach(
+            init, e.select(F.col("t").alias("s"), F.col("s").alias("t")),
+            max_iters)
+        assigned = (fwd.join(bwd.withColumnRenamed("lbl", "_b"), "v")
+                    .filter(F.col("lbl") == F.col("_b"))
+                    .select("v", F.col("lbl").alias("scc_id"))
+                    .localCheckpoint())
+        result = assigned if result is None \
+            else result.unionByName(assigned)
+        remaining = remaining.join(assigned, "v", "left_anti") \
+            .localCheckpoint()
+        e = (e.join(assigned.select(F.col("v").alias("s")), "s", "left_anti")
+             .join(assigned.select(F.col("v").alias("t")), "t", "left_anti")
+             .localCheckpoint())
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"SCC coloring did not converge in {max_outer} outer rounds")
+    if result is None:
+        return remaining.withColumn("scc_id", F.col("v"))
+    return result
