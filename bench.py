@@ -77,6 +77,7 @@ def main() -> None:
         "similarity_topk", "similarity_ann_ivf",
         "stratified_sample", "pack_sequences",
         "bloom_decontaminate", "sketch_distinct_rollup",
+        "asof_join_events",
     ]
     qs = entrymod.queries()
     for name in heads:
