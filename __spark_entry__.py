@@ -1748,6 +1748,23 @@ SQL_KG_SEARCH_NODES = """SELECT 'Page' AS label, 'p' || CAST(doc_id AS VARCHAR) 
 FROM documents WHERE doc_id = 42"""
 
 
+def q_kg_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 through the AT-REST trigram index (the trie.ts analogue): the
+    posting lists are built into a temp dir, the lookup reads only the
+    needle trigrams' bucket partitions, and the result is verified to
+    scan semantics — so the same SQL oracle checks the indexed path."""
+    import os as _os
+
+    from gitnexus_spark.operators.search_index import (build_search_index,
+                                                       search_with_index)
+
+    out = _run_full_pipeline(spark, sf_dir)
+    idx = f"/tmp/kg_entry_sidx_{_os.path.basename(sf_dir.rstrip('/'))}"
+    build_search_index(out["nodes"], idx)
+    return search_with_index(spark, out["nodes"], idx, "p42.html") \
+        .select("label", "name")
+
+
 def _archive_fixture_dir() -> str:
     """Deterministic tiny ZIP + WARC fixtures, synthesized on first use
     (testdata is read-only, so the bytes are built here): every member/
@@ -2426,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degree": q_kg_node_degree,
         "kg_pagerank": q_kg_pagerank,
         "kg_search_nodes": q_kg_search_nodes,
+        "kg_search_indexed": q_kg_search_indexed,
         "kg_fuzzy_locality": q_kg_fuzzy_locality,
         "kg_triangles": q_kg_triangles,
         "kg_scc": q_kg_scc,
@@ -2513,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_degree": SQL_KG_NODE_DEGREE,
         "kg_pagerank": SQL_KG_PAGERANK,
         "kg_search_nodes": SQL_KG_SEARCH_NODES,
+        "kg_search_indexed": SQL_KG_SEARCH_NODES,
         "kg_fuzzy_locality": SQL_KG_FUZZY_LOCALITY,
         "archive_pages": SQL_ARCHIVE_PAGES,
         "embedding_near_dup": _sql_embedding_near_dup(),
