@@ -23,9 +23,10 @@ iterations instead of 100. Per iteration: one edge join + partial-agg
 min, one self-join on the label, one localCheckpoint to cut lineage.
 
 100 TB posture: work per iteration is O(|E|) with a single shuffle on
-the label key; the whole frontier state is two columns per node. For
-web-scale graphs prefer trimming leaves first (degree-0 peeling) and
-expect few outer rounds — the worst case (a long path of singleton
+the label key; the whole frontier state is two columns per node. Each
+outer round first runs bounded degree-peeling (in- or out-degree-0
+nodes are singleton SCCs) to dispose of the acyclic fringe cheaply;
+the worst case (a long path of singleton
 SCCs ordered against the propagation direction) degrades to multiple
 outer rounds, which max_outer bounds with a hard error, never a silent
 wrong answer. Reference analogue: none (GitNexus has no SCC); this
@@ -82,6 +83,30 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
     remaining = universe.distinct().localCheckpoint()
     result: DataFrame | None = None
     for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        # trim: a node with no remaining in-edges or no remaining
+        # out-edges cannot be on a cycle — it is its own SCC. A few
+        # bounded peel passes per round dispose of the acyclic fringe
+        # with degree aggs instead of coloring rounds (bounded, not to
+        # fixpoint: peeling a long chain to fixpoint would itself be
+        # O(n) driver rounds — max_outer stays the global bound).
+        for _peel in range(3):
+            has_out = e.select(F.col("s").alias("v")).distinct()
+            has_in = e.select(F.col("t").alias("v")).distinct()
+            cyclic = has_out.join(has_in, "v", "left_semi")
+            trimmed = remaining.join(cyclic, "v", "left_anti") \
+                .withColumn("scc_id", F.col("v")).localCheckpoint()
+            if trimmed.isEmpty():
+                break
+            result = trimmed if result is None \
+                else result.unionByName(trimmed)
+            remaining = remaining.join(trimmed, "v", "left_anti") \
+                .localCheckpoint()
+            e = (e.join(trimmed.select(F.col("v").alias("s")), "s",
+                        "left_anti")
+                 .join(trimmed.select(F.col("v").alias("t")), "t",
+                       "left_anti").localCheckpoint())
         if remaining.isEmpty():
             break
         init = remaining.withColumn("lbl", F.col("v"))
