@@ -52,6 +52,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     rts = right_ts or left_ts
+    reserved = {"_ts", "_side", "_rv", "_match"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join reserves columns {sorted(clash)}; "
+                         "rename them on the inputs")
     payload_cols = [c for c in right.columns if c not in on]
     if rts not in payload_cols:
         raise ValueError(f"right_ts {rts!r} must be a non-key right column")

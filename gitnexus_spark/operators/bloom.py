@@ -127,7 +127,12 @@ def might_contain(df: DataFrame, key_col: str, bloom: bytes,
                   flag_col: str = "_bloom_hit") -> DataFrame:
     """df + boolean flag_col: True iff key MAY be in the bloom'd set
     (no false negatives). Scan-local: positions are codegen'd JVM
-    columns; Python does one vectorized bit-gather per Arrow batch."""
+    columns; Python does one vectorized bit-gather per Arrow batch.
+
+    Each call registers one Spark broadcast of the bloom bytes, which
+    lives until the returned plan is garbage-collected — long-running
+    drivers (streaming) should build the bloom once and reuse the
+    returned DataFrame, not re-call per micro-batch."""
     bc = df.sparkSession.sparkContext.broadcast(bloom)
 
     @pandas_udf("boolean")
