@@ -2297,6 +2297,23 @@ def _lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.explode(F.split(F.col("text"), " ")).alias("w"))
 
 
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq >= 1% of all tokens) via the two-pass
+    pigeonhole plan: scan-local candidate generation, exact counting of
+    candidates only — the shuffle never carries the vocabulary."""
+    from gitnexus_spark.operators.heavy import heavy_hitters
+
+    tok = _lang_tokens(spark, sf_dir).select("w")
+    return heavy_hitters(tok, "w", 0.01).orderBy("term")
+
+
+SQL_HEAVY_HITTERS = """WITH tok AS (
+  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+n AS (SELECT COUNT(*) AS n FROM tok)
+SELECT w AS term, COUNT(*) AS cnt FROM tok, n
+GROUP BY w, n.n HAVING COUNT(*) >= 0.01 * n.n ORDER BY term"""
+
+
 def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL profile-table contract: per-lang vocabulary sizes obtained by
     MERGING per-(lang, source) sketches must (a) equal a direct per-lang
@@ -2500,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "bloom_decontaminate": q_bloom_decontaminate,
         "sketch_distinct_rollup": q_sketch_distinct_rollup,
+        "heavy_hitter_words": q_heavy_hitter_words,
         "sketch_overlap_langs": q_sketch_overlap_langs,
         "sketch_quantile_rollup": q_sketch_quantile_rollup,
     }
@@ -2580,6 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "sketch_distinct_rollup": SQL_SKETCH_DISTINCT,
+        "heavy_hitter_words": SQL_HEAVY_HITTERS,
         "sketch_overlap_langs": SQL_SKETCH_OVERLAP,
         "sketch_quantile_rollup": SQL_SKETCH_QUANTILE,
     }
