@@ -116,3 +116,83 @@ def test_randomized_equivalence(spark, direction):
     want = {r["lid"]: (r["r_rid"], r["r_val"])
             for r in _brute(spark, left, right, direction).collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("bucket_s", [60, 300, 3600])
+def test_bucketed_parity(spark, direction, bucket_s):
+    """The (key, time-bucket) plan must return EXACTLY the plain plan's
+    rows at every bucket width — including widths that leave empty
+    buckets between a left row and its match (carry must skip them)."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    left = spark.createDataFrame(
+        [(int(i), int(rng.randint(0, 40)), _ts(int(rng.randint(0, 700))))
+         for i in range(1500)], "lid long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(int(1_000_000 + i), int(rng.randint(0, 30)),
+          _ts(int(rng.randint(0, 700))), f"v{rng.randint(0, 9)}")
+         for i in range(900)], "rid long, user long, ts timestamp, val string")
+    plain = {r["lid"]: (r["r_rid"], r["r_val"])
+             for r in asof_join(left, right, ["user"],
+                                direction=direction).collect()}
+    bucketed = {r["lid"]: (r["r_rid"], r["r_val"])
+                for r in asof_join(left, right, ["user"],
+                                   direction=direction,
+                                   bucket_s=bucket_s).collect()}
+    assert bucketed == plain
+
+
+def test_bucketed_empty_gap_carry(spark):
+    """A match many EMPTY buckets back must still carry forward."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(500))], "lid long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 7, _ts(1), "old")], "rid long, user long, ts timestamp, val string")
+    out = asof_join(left, right, ["user"], bucket_s=60).collect()
+    assert out[0]["r_rid"] == 100 and out[0]["r_val"] == "old"
+
+
+def test_bucketed_plan_partitions_by_bucket(spark, sides):
+    """Skew proof: the fact-level window must partition by
+    (key, _bucket), so ONE hot key parallelizes across its time range —
+    the only key-global window runs on the per-bucket summary."""
+    left, right = sides
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right, ["user"], bucket_s=600).explain("formatted")
+    plan = buf.getvalue()
+    assert "_bucket" in plan
+    # the in-fact window sorts by (_ts, _side, _rv) and must carry
+    # _bucket in its partition spec
+    import re
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    fact_specs = [s for s in win_specs if "_side" in s]
+    assert fact_specs, plan
+    assert all("_bucket" in s for s in fact_specs), fact_specs
+
+
+def test_numeric_epoch_tolerance(spark):
+    """tolerance_s over a NUMERIC epoch-seconds ts column must use raw
+    arithmetic (unix_timestamp would parse NULL and void every match)."""
+    left = spark.createDataFrame(
+        [(1, 5, 1000), (2, 5, 5000)], "lid long, user long, ts long")
+    right = spark.createDataFrame(
+        [(100, 5, 900, "x")], "rid long, user long, ts long, val string")
+    got = {r["lid"]: r["r_rid"] for r in
+           asof_join(left, right, ["user"], tolerance_s=200).collect()}
+    assert got[1] == 100      # gap 100s kept
+    assert got[2] is None     # gap 4100s voided
+    # and bucketing over numeric ts works too
+    got_b = {r["lid"]: r["r_rid"] for r in
+             asof_join(left, right, ["user"], bucket_s=50).collect()}
+    assert got_b[1] == 100 and got_b[2] == 100
+
+
+def test_string_ts_tolerance_raises(spark):
+    left = spark.createDataFrame([(1, 5, "2024-01-01")],
+                                 "lid long, user long, ts string")
+    right = spark.createDataFrame([(9, 5, "2024-01-01", "x")],
+                                  "rid long, user long, ts string, val string")
+    with pytest.raises(ValueError, match="timestamp or numeric"):
+        asof_join(left, right, ["user"], tolerance_s=10).collect()
