@@ -2,10 +2,13 @@
 hot term deliberately spread thin across every partition (the case a
 naive per-partition threshold would miss)."""
 
+import math
+from collections import Counter
+
 import pytest
 from pyspark.sql import functions as F
 
-from gitnexus_spark.operators.heavy import heavy_hitters
+from gitnexus_spark.operators.heavy import MG_MARGIN, _mg_merge, heavy_hitters
 
 
 def _exact(df, col, phi):
@@ -37,6 +40,39 @@ def test_spread_term_not_missed(spark):
         .alias("w")).repartition(32)
     got = {r["term"] for r in heavy_hitters(df, "w", 0.04).collect()}
     assert got == {"hot"}
+
+
+def test_mg_summary_bounded_on_adversarial_vocabulary():
+    """A partition that is almost all distinct terms (the case that made
+    the old Counter implementation hold the whole vocabulary) keeps the
+    summary at <= capacity entries after every batch merge, yet never
+    evicts a term above the phi * n_p bar."""
+    phi = 0.01
+    capacity = MG_MARGIN * math.ceil(1.0 / phi)
+    counts: Counter = Counter()
+    n_seen = 0
+    for b in range(50):  # 50 batches x 2000 distinct singletons + 80 'hot'
+        batch = Counter({f"u{b}_{i}": 1 for i in range(2000)})
+        batch["hot"] = 80
+        _mg_merge(counts, batch, capacity)
+        n_seen += sum(batch.values())
+        assert len(counts) <= capacity
+    # hot is 80*50 / n_seen ~ 3.8% >> phi -> must have survived with a
+    # positive count (undercount bounded by n_seen / (capacity + 1))
+    assert counts["hot"] > 0
+    assert counts["hot"] >= 4000 - n_seen // (capacity + 1)
+
+
+def test_high_distinct_partition_end_to_end(spark):
+    # one hot term at ~2% buried in a single partition whose vocabulary
+    # (~49k distinct) vastly exceeds the MG capacity (2 * 100)
+    df = spark.range(0, 50000).select(
+        F.when(F.col("id") % 50 == 0, "hot")
+        .otherwise(F.concat(F.lit("v"), F.col("id").cast("string")))
+        .alias("w")).coalesce(1)
+    got = {(r["term"], r["cnt"])
+           for r in heavy_hitters(df, "w", 0.01).collect()}
+    assert got == {("hot", 1000)}
 
 
 def test_nulls_ignored_and_phi_validated(spark):
