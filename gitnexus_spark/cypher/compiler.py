@@ -108,7 +108,16 @@ class _PatternBuilder:
         Catalyst cannot push the downstream anchor join through; without
         seeding, an anchored pattern would expand from every node and
         discard almost all of it at the join."""
-        max_h = min(rel.max_hops, MAX_VARLEN_HOPS)
+        # fail loudly instead of clamping silently: *6..8 used to return
+        # an empty frame (min above the cap yields no levels) and *2..10
+        # silently dropped paths of length 6-10
+        if rel.max_hops is not None and rel.max_hops > MAX_VARLEN_HOPS:
+            raise CypherCompileError(
+                f"variable-length pattern *{rel.min_hops}..{rel.max_hops} "
+                f"exceeds MAX_VARLEN_HOPS={MAX_VARLEN_HOPS} (the reference's "
+                "own traversal clamp, query-optimization.ts:412-422); "
+                "rewrite the query with a bounded hop range")
+        max_h = min(rel.max_hops or MAX_VARLEN_HOPS, MAX_VARLEN_HOPS)
         e = self.edge_frame(RelPat(rel.rtype, rel.direction)) \
             .dropDuplicates(["_from", "_to"]).persist()
         lvl1 = e

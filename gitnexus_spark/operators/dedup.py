@@ -133,12 +133,18 @@ def minhash_sig_sql(bases_var: str = "bases", num_hashes: int = 16) -> str:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
-                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                      bands: int = 4, shingle_n: int = 3,
+                      cache_handles: list | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     bands * rows_per_band == num_hashes; docs sharing ANY band hash become
     a candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
     The band join shuffles on (band, band_hash) — uniformly distributed.
+
+    The banded table is persisted (both sides of the self-join read it);
+    pass ``cache_handles=[]`` to receive the handle and unpersist after
+    the consuming action — long-lived drivers that skip this pin executor
+    storage for the session (same contract as structure_graph).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -159,6 +165,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # scan runs twice (exchange reuse is not guaranteed across the two
     # projections). ~(8+1+32)B x bands rows — tiny next to the corpus.
     banded = banded.persist()
+    if cache_handles is not None:
+        cache_handles.append(banded)
     other = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
         banded.join(other, ["band", "band_hash"])
@@ -199,8 +207,9 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
     """
     from .components import connected_components
 
+    handles: list = []
     pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
-                              shingle_n)
+                              shingle_n, cache_handles=handles)
     # components uses string vertex ids with a string-min representative;
     # zero-pad so string order == numeric order, then cast back.
     pad = 20
@@ -213,6 +222,11 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
         F.col("vertex").cast(id_type).alias(id_col),
         F.col("component").cast(id_type).alias("cluster_id"),
     )
+    # connected_components materializes (driver union-find collect or
+    # per-round localCheckpoint), so the banded LSH pin is consumed here
+    # and can be released before the lazy tail is returned
+    for h in handles:
+        h.unpersist()
     out = (
         df.select(id_col)
         .join(comp, id_col, "left")
@@ -235,7 +249,8 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", eval_text_col: str | None = None,
                   shingle_n: int = 4, min_hits: int = 1,
                   broadcast_eval: bool = True,
-                  bloom_prefilter: bool = True) -> DataFrame:
+                  bloom_prefilter: bool = True,
+                  cache_handles: list | None = None) -> DataFrame:
     """Mark training documents that overlap an evaluation set.
 
     The standard pre-training hygiene step: a training doc is
@@ -279,6 +294,8 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
     elif bloom_prefilter:
         from .bloom import bloom_params, build_bloom, might_contain
         ev = ev.persist()
+        if cache_handles is not None:
+            cache_handles.append(ev)
         num_bits, num_hashes = bloom_params(ev.count())
         bloom = build_bloom(ev, "gram", num_bits, num_hashes)
         tr = might_contain(tr, "gram", bloom, num_bits, num_hashes) \
@@ -305,7 +322,8 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.8,
                         shingle_n: int = 3,
-                        max_shingle_df: int = 100_000) -> DataFrame:
+                        max_shingle_df: int = 100_000,
+                        cache_handles: list | None = None) -> DataFrame:
     """Exact Jaccard similarity join blocked on shared shingles.
 
     Returns (id_a, id_b, jaccard) for pairs >= threshold, id_a < id_b.
@@ -322,6 +340,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # per-doc sizes, and both sides of the pair join) — pin it once so the
     # shingling scan runs once, not four times.
     ex = sh.select("id", F.explode("shingles").alias("sh")).persist()
+    if cache_handles is not None:
+        cache_handles.append(ex)
     hot = ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
     # hot is tiny by construction (shingles with df > max_shingle_df), so
     # the anti-join broadcasts; re-evaluating it per consumer is cheap.
@@ -391,7 +411,8 @@ def simhash_hex(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  bands: int = 4, bits: int = SIMHASH_BITS) -> DataFrame:
+                  bands: int = 4, bits: int = SIMHASH_BITS,
+                  cache_handles: list | None = None) -> DataFrame:
     """Near-dup candidates: Hamming(simhash) <= max_hamming.
 
     Blocking: split the fingerprint into `bands` segments; by pigeonhole
@@ -416,6 +437,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         ).alias("band", "seg_key"),
     )
     banded = banded.persist()  # same double-scan pin as minhash_lsh_pairs
+    if cache_handles is not None:
+        cache_handles.append(banded)
     other = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
                           "band", "seg_key")
     cand = (

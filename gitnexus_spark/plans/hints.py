@@ -34,9 +34,16 @@ from pyspark.sql import functions as F
 
 #: Forced-broadcast ceiling for the ESTIMATED in-memory dimension size.
 #: 64 MiB decompressed is comfortably replicable to every executor and
-#: far above any real vocabulary that SHOULD be broadcast; parquet at
-#: rest compresses ~2-4x, so the footprint fallback is conservative too.
+#: far above any real vocabulary that SHOULD be broadcast.
 BROADCAST_MAX_BYTES = 64 << 20
+
+#: Parquet at rest is encoded + compressed; its in-memory row footprint
+#: is typically 3-4x the file bytes. Any estimate derived from an
+#: at-rest directory size must be INFLATED by this factor before it is
+#: compared against BROADCAST_MAX_BYTES — comparing raw file bytes would
+#: let a 64 MiB footprint (~256 MiB in memory) force a broadcast the
+#: observed-row-count path would refuse.
+PARQUET_INFLATION = 4
 
 #: Per-row estimate for a name-dimension row (a few short strings plus
 #: row overhead) used to turn observed row counts into bytes.

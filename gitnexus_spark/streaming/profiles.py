@@ -10,7 +10,14 @@ profile table exact AND replay-safe:
   seen would produce — the maintained table never drifts;
 - replay-safe: foreachBatch is at-least-once, so an epoch guard (cheap
   manifest-tag read) skips already-folded epochs, giving exactly-once
-  commits and one snapshot per micro-batch. Note the guard is REQUIRED
+  commits and one snapshot per micro-batch. Epoch ids are scoped to the
+  CHECKPOINT, so the guard tag is namespaced per checkpoint location
+  (_run_ns): a stream restarted under a fresh checkpoint path starts at
+  -1 and reprocesses, instead of silently skipping batches until its
+  epoch_id overtakes a previous run's max. The residual coupling — a
+  checkpoint dir WIPED IN PLACE is indistinguishable from replay and is
+  treated as such — is deliberate; point a fresh checkpoint at a fresh
+  path (and usually a fresh table). Note the guard is REQUIRED
   for bit-stable estimates, not just tidiness: although HLL union is
   register-wise max (re-merging a batch can never lose items), Spark's
   estimator is not invariant under self-union — a sketch unioned with
@@ -84,16 +91,31 @@ def merge_quantile_profile_into(writer: SnapshotWriter, table_path: str,
                                tag=tag)
 
 
-def _last_epoch(writer: SnapshotWriter, table_path: str) -> int:
-    """Highest epoch-N tag in the table's history (-1 if none)."""
+def _run_ns(checkpoint_dir: str) -> str:
+    """Stable namespace for epoch tags, derived from the checkpoint
+    location. Structured Streaming epoch ids are scoped to the
+    CHECKPOINT, not the table: a fresh checkpoint restarts them at 0, so
+    a bare max-epoch guard would silently skip every batch until the new
+    run's epoch_id overtook the old run's max (data loss, no error).
+    Namespacing the tag per checkpoint makes the guard compare only
+    epochs from the same run lineage."""
+    import hashlib
+    import os
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+
+
+def _last_epoch(writer: SnapshotWriter, table_path: str, ns: str) -> int:
+    """Highest epoch-<ns>-N tag in the table's history (-1 if none)."""
     if not writer.exists(table_path):
         return -1
+    prefix = f"epoch-{ns}-"
     last = -1
     for e in writer.history(table_path):
         for t in e.get("tags", []):
-            if t.startswith("epoch-"):
+            if t.startswith(prefix):
                 try:
-                    last = max(last, int(t.split("-", 1)[1]))
+                    last = max(last, int(t.rsplit("-", 1)[1]))
                 except ValueError:
                     pass
     return last
@@ -109,15 +131,16 @@ def start_distinct_profile_stream(stream_df: DataFrame, table_path: str,
     up with operators/sketches.rollup_distinct — no history rescan."""
     spark = stream_df.sparkSession
     writer = SnapshotWriter(spark)
+    ns = _run_ns(checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if epoch_id <= _last_epoch(writer, table_path):
+        if epoch_id <= _last_epoch(writer, table_path, ns):
             return  # replayed epoch: already folded in (and idempotent)
         delta = distinct_profile(batch_df, group_cols, value_col, lg_k)
         merge_profile_into(writer, table_path, delta, group_cols,
-                           tag=f"epoch-{epoch_id}")
+                           tag=f"epoch-{ns}-{epoch_id}")
 
     return (
         stream_df.writeStream
@@ -137,15 +160,16 @@ def start_quantile_profile_stream(stream_df: DataFrame, table_path: str,
     guard is load-bearing here, not belt-and-braces)."""
     spark = stream_df.sparkSession
     writer = SnapshotWriter(spark)
+    ns = _run_ns(checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if epoch_id <= _last_epoch(writer, table_path):
+        if epoch_id <= _last_epoch(writer, table_path, ns):
             return
         delta = quantile_profile(batch_df, group_cols, value_col, k)
         merge_quantile_profile_into(writer, table_path, delta, group_cols,
-                                    tag=f"epoch-{epoch_id}")
+                                    tag=f"epoch-{ns}-{epoch_id}")
 
     return (
         stream_df.writeStream

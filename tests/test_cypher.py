@@ -204,6 +204,14 @@ def test_compile_errors(graph):
         # EXISTS under OR is rejected, not silently mis-planned
         run(graph, "MATCH (p:Page) WHERE p.name = 'x' OR "
                    "EXISTS((p)-[:LINKS_TO]->(:Page)) RETURN p.name")
+    with pytest.raises(CypherCompileError):
+        # hop range above the traversal clamp errors instead of
+        # silently returning empty (*6..8) or truncated (*2..10) results
+        run(graph, "MATCH (a:Page)-[:LINKS_TO*6..8]->(b:Page) "
+                   "RETURN a.name, b.name")
+    with pytest.raises(CypherCompileError):
+        run(graph, "MATCH (a:Page)-[:LINKS_TO*2..10]->(b:Page) "
+                   "RETURN a.name, b.name")
 
 
 def test_unanchored_exists_rejected(graph):

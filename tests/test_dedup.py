@@ -169,3 +169,22 @@ def test_decontaminate(spark):
             decontaminate(train, ev, shingle_n=4, broadcast_eval=False,
                           bloom_prefilter=False).collect()}
     assert got3 == {k: v["contaminated"] for k, v in got.items()}
+
+
+def test_cache_handles_returned_and_releasable(docs, spark):
+    """The persisted internals are handed back for the caller to release
+    (long-lived drivers would otherwise pin executor storage for the
+    session); results are unaffected by the release."""
+    from gitnexus_spark.operators.dedup import (minhash_lsh_pairs,
+                                                ngram_jaccard_pairs,
+                                                simhash_pairs)
+
+    for fn in (minhash_lsh_pairs, simhash_pairs, ngram_jaccard_pairs):
+        handles = []
+        out = fn(docs, cache_handles=handles)
+        n = out.count()
+        assert len(handles) == 1 and handles[0].is_cached
+        for h in handles:
+            h.unpersist()
+        assert not handles[0].is_cached
+        assert out.count() == n  # plan still valid after release

@@ -80,6 +80,29 @@ def test_epoch_guard_skips_replayed_batches(spark, dirs):
     assert len(w.history(dirs["tbl"])) == n_commits
 
 
+def test_epoch_guard_is_scoped_to_the_checkpoint(spark, tmp_path):
+    """Epoch ids restart at 0 under a new checkpoint location, so the
+    guard must only compare tags from the same checkpoint namespace — a
+    fresh-checkpoint run against an existing table must NOT be skipped
+    (the old un-namespaced guard silently dropped every batch until the
+    new run's epoch_id overtook the old run's max)."""
+    from gitnexus_spark.streaming.profiles import _last_epoch, _run_ns
+
+    tbl = str(tmp_path / "tbl")
+    w = SnapshotWriter(spark)
+    ns_a, ns_b = _run_ns(str(tmp_path / "ckptA")), _run_ns(str(tmp_path / "ckptB"))
+    assert ns_a != ns_b
+    # same path -> same namespace (wipe-in-place is treated as replay,
+    # which test_epoch_guard_skips_replayed_batches depends on)
+    assert _run_ns(str(tmp_path / "ckptA")) == ns_a
+
+    merge_profile_into(
+        w, tbl, distinct_profile(_mk(spark, 0, 1000), ["lang"], "entity"),
+        ["lang"], tag=f"epoch-{ns_a}-5")
+    assert _last_epoch(w, tbl, ns_a) == 5   # own lineage: replay guard on
+    assert _last_epoch(w, tbl, ns_b) == -1  # fresh checkpoint: processes
+
+
 def test_partial_group_delta_keeps_other_groups(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     w = SnapshotWriter(spark)
