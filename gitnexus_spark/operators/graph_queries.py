@@ -27,6 +27,27 @@ def register_views(nodes: DataFrame, edges: DataFrame) -> None:
     edges.createOrReplaceTempView("edges")
 
 
+def lookup_edges(spark, out_dir: str, src: str | None = None,
+                 dst: str | None = None) -> DataFrame:
+    """Endpoint edge lookup over a pipeline warehouse. Reads the
+    z-ordered layout (``edges_zorder``, written by
+    KGPipeline(optimize_layout=True)) when present — its files hold
+    Morton rectangles of (src, dst), so a filter on EITHER endpoint (or
+    both) prunes by native parquet string min/max stats; the plain
+    type-partitioned table, where an endpoint filter touches every file,
+    is the fallback."""
+    import os
+    zp = os.path.join(out_dir, "edges_zorder")
+    path = zp if os.path.exists(os.path.join(zp, "_SUCCESS")) \
+        else os.path.join(out_dir, "edges")
+    df = spark.read.parquet(path)
+    if src is not None:
+        df = df.filter(F.col("src") == src)
+    if dst is not None:
+        df = df.filter(F.col("dst") == dst)
+    return df
+
+
 AUTO_LIMIT = 1000
 _LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 

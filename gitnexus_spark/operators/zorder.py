@@ -43,28 +43,45 @@ def _interleave(x: Column, y: Column, bits: int = DIM_BITS) -> Column:
     return code
 
 
-def _bucket(col: str, boundaries: list[float]) -> Column:
+def _bucket(value: Column, boundaries: list[float]) -> Column:
     """Equal-frequency bucket index = number of boundaries <= value.
     The boundary array is a few hundred scalars — a small literal, not
     a data-sized closure."""
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    return F.size(F.filter(arr, lambda b: F.col(col).cast("double") >= b)) \
-        .cast("long")
+    return F.size(F.filter(arr, lambda b: value >= b)).cast("long")
+
+
+def _proxy(c: str, dtype: str) -> Column:
+    """Order-preserving numeric proxy for quantile bucketing.
+
+    Strings use their first 6 bytes as a big-endian integer (the same
+    truncation trick Iceberg's zorder uses): string order == proxy order
+    up to 6-byte-prefix ties, so files sorted by proxy buckets carry
+    NARROW native string min/max stats — point/range filters on the raw
+    string column prune without any helper column or rewritten
+    predicate. 6 bytes (2^48) stays exact in the double that
+    approxQuantile works over; prefix ties only coarsen a bucket when
+    >1/2^DIM_BITS of rows share a 6-byte prefix."""
+    if dtype == "string":
+        return F.conv(F.substring(F.hex(F.col(c).cast("binary")), 1, 12),
+                      16, 10).cast("double")
+    return F.col(c).cast("double")
 
 
 def with_zorder(df: DataFrame, cols: list[str],
                 out_col: str = "_z") -> DataFrame:
-    """df + Morton code over exactly two numeric columns, each bucketed
-    into 2^DIM_BITS equal-frequency bins."""
+    """df + Morton code over exactly two columns (numeric or string),
+    each bucketed into 2^DIM_BITS equal-frequency bins."""
     if len(cols) != 2:
         raise ValueError("z-ordering here interleaves exactly 2 columns")
+    dtypes = dict(df.dtypes)
     n_buckets = 1 << DIM_BITS
     probs = [i / n_buckets for i in range(1, n_buckets)]
     buckets = []
     for c in cols:
-        bnd = df.select(F.col(c).cast("double").alias(c)) \
-            .approxQuantile(c, probs, 0.001)
-        buckets.append(F.least(_bucket(c, bnd), F.lit(n_buckets - 1)))
+        proxy = _proxy(c, dtypes[c])
+        bnd = df.select(proxy.alias(c)).approxQuantile(c, probs, 0.001)
+        buckets.append(F.least(_bucket(proxy, bnd), F.lit(n_buckets - 1)))
     return df.withColumn(out_col, _interleave(*buckets))
 
 

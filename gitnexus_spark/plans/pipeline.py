@@ -216,12 +216,14 @@ class KGPipeline:
     def __init__(self, spark: SparkSession, out_dir: str,
                  alias_dict: DataFrame | None = None,
                  writer: ParquetWriter | None = None,
-                 broadcast_max_bytes: int = BROADCAST_MAX_BYTES) -> None:
+                 broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+                 optimize_layout: bool = False) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.alias_dict = alias_dict
         self.writer = writer or ParquetWriter(spark)
         self.broadcast_max_bytes = broadcast_max_bytes
+        self.optimize_layout = optimize_layout
         self._lineage_rows: list[tuple] = []
         self._rows: dict[str, int] = {}  # observed count per committed pass
 
@@ -284,6 +286,40 @@ class KGPipeline:
         return path
 
     # -- passes ---------------------------------------------------------------
+    def _optimize_layout(self, nodes: DataFrame, edges: DataFrame) -> None:
+        """Optional pass-4 layout artifacts (the nightly-OPTIMIZE
+        analogue; semantics unchanged, both resume-guarded):
+
+        - ``edges_zorder``: the edge table rewritten along the (src, dst)
+          Morton curve, so a two-sided or either-sided endpoint lookup
+          prunes files by the native string min/max stats instead of
+          scanning every file of a type partition (in production this is
+          Iceberg OPTIMIZE ZORDER on the same table; here it lands as a
+          sibling directory because plain parquet can't swap layouts
+          transactionally).
+        - ``search_index``: the trigram posting lists over the node
+          search fields (operators/search_index.py), the at-rest
+          analogue of the reference's in-memory search over node names
+          (query-engine.ts searchNodes).
+        """
+        from ..operators.search_index import build_search_index
+        from ..operators.zorder import write_zordered
+
+        zpath = _table(self.out_dir, "edges_zorder")
+        if not _done(zpath):
+            t0 = time.time()
+            n_files = max(8, edges.rdd.getNumPartitions())
+            write_zordered(edges, ["src", "dst"], zpath, num_files=n_files)
+            self._lineage_rows.append(
+                ("edges_zorder", zpath, self._rows.get("edges", -1),
+                 round(time.time() - t0, 3)))
+        ipath = _table(self.out_dir, "search_index")
+        if not _done(ipath):
+            t0 = time.time()
+            build_search_index(nodes, ipath)
+            self._lineage_rows.append(
+                ("search_index", ipath, -1, round(time.time() - t0, 3)))
+
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
         # pass 1+2 fused: ONE corpus scan emits page text (+content hash),
         # mentions, triples (with same-doc definition flags), and links.
@@ -517,6 +553,9 @@ class KGPipeline:
             f_nodes = pool.submit(self._load_or, "nodes", p4_nodes, ["label"])
             f_edges = pool.submit(self._load_or, "edges", p4_edges, ["type"])
             nodes, edges = f_nodes.result(), f_edges.result()
+
+        if self.optimize_layout:
+            self._optimize_layout(nodes, edges)
 
         return {
             "pages_text": pages_text, "extracted": corpus,

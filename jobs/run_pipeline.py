@@ -42,6 +42,10 @@ def main() -> None:
                     help="'snapshot' commits every pass through the "
                          "snapshot-at-rest layer (history/time travel; "
                          "sources/snapshots.py) instead of bare parquet")
+    ap.add_argument("--optimize-layout", action="store_true",
+                    help="also write the (src,dst) z-ordered edge layout "
+                         "and the trigram search index (nightly-OPTIMIZE "
+                         "analogue; resume-guarded like every pass)")
     args = ap.parse_args()
 
     from gitnexus_spark.plans.pipeline import KGPipeline, integrity_checks
@@ -67,7 +71,8 @@ def main() -> None:
         from gitnexus_spark.sources.snapshots import SnapshotWriter
 
         writer = SnapshotWriter(spark)
-    pipe = KGPipeline(spark, args.output, alias_dict=alias, writer=writer)
+    pipe = KGPipeline(spark, args.output, alias_dict=alias, writer=writer,
+                      optimize_layout=args.optimize_layout)
     t0 = time.time()
     out = pipe.run(pages)
     wall = time.time() - t0

@@ -81,3 +81,31 @@ def test_y_band_pruning_beats_x_sorted(spark, xy, tmp_path):
     tb = sum(1 for b in boxes for r in zs
              if r[0] <= b[1] and r[1] >= b[0] and r[2] <= b[1] and r[3] >= b[0])
     assert tb / (len(boxes) * len(zs)) < 0.45, (tb, zs)
+
+
+def test_string_columns_cluster_native_stats(spark, tmp_path):
+    """String dims ride a 6-byte order-preserving prefix proxy: the
+    written files carry NARROW native string min/max spans on both
+    columns, so endpoint filters prune without helper columns."""
+    df = spark.range(0, 40000).select(
+        F.md5((F.col("id") % 200).cast("string")).alias("src"),
+        F.md5(F.floor(F.col("id") / 200).cast("string")).alias("dst"))
+    path = str(tmp_path / "zs")
+    write_zordered(df, ["src", "dst"], path, num_files=16)
+    stats = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        stats.append(spark.read.parquet(f).agg(
+            F.min("src"), F.max("src"),
+            F.min("dst"), F.max("dst")).collect()[0])
+    assert len(stats) >= 8
+    probes = [r["src"] for r in df.select("src").distinct().limit(64)
+              .collect()][::4]
+    dsts = [r["dst"] for r in df.select("dst").distinct().limit(64)
+            .collect()][::4]
+    s_frac = sum(1 for v in probes for r in stats if r[0] <= v <= r[1]) \
+        / (len(probes) * len(stats))
+    d_frac = sum(1 for v in dsts for r in stats if r[2] <= v <= r[3]) \
+        / (len(dsts) * len(stats))
+    # unsorted/one-column layouts touch ~all files on at least one side
+    assert s_frac < 0.6, s_frac
+    assert d_frac < 0.6, d_frac
