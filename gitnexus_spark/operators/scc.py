@@ -56,7 +56,12 @@ def _min_reach(init: DataFrame, edges: DataFrame,
                .select("v", "lbl",
                        F.least("lbl", "_edge_min", "_jump_min")
                        .alias("_new")))
-        cur = cur.localCheckpoint()
+        # LAZY checkpoint + count in ONE job: the convergence count is
+        # the action that materializes the checkpoint, instead of an
+        # eager-checkpoint job followed by a count job — on an iterative
+        # driver loop the per-job latency IS the wall time, so this
+        # halves it.
+        cur = cur.localCheckpoint(eager=False)
         changed = cur.filter(F.col("_new") != F.col("lbl")).count()
         lbl = cur.select("v", F.col("_new").alias("lbl"))
         if changed == 0:
@@ -95,25 +100,36 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
             has_out = e.select(F.col("s").alias("v")).distinct()
             has_in = e.select(F.col("t").alias("v")).distinct()
             cyclic = has_out.join(has_in, "v", "left_semi")
+            # lazy checkpoint: the emptiness count doubles as the
+            # materializing action (one job, not checkpoint + isEmpty)
             trimmed = remaining.join(cyclic, "v", "left_anti") \
-                .withColumn("scc_id", F.col("v")).localCheckpoint()
-            if trimmed.isEmpty():
+                .withColumn("scc_id", F.col("v")) \
+                .localCheckpoint(eager=False)
+            if trimmed.count() == 0:
                 break
             result = trimmed if result is None \
                 else result.unionByName(trimmed)
             remaining = remaining.join(trimmed, "v", "left_anti") \
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             e = (e.join(trimmed.select(F.col("v").alias("s")), "s",
                         "left_anti")
                  .join(trimmed.select(F.col("v").alias("t")), "t",
-                       "left_anti").localCheckpoint())
+                       "left_anti").localCheckpoint(eager=False))
         if remaining.isEmpty():
             break
         init = remaining.withColumn("lbl", F.col("v"))
-        fwd = _min_reach(init, e, max_iters)
-        bwd = _min_reach(
-            init, e.select(F.col("t").alias("s"), F.col("s").alias("t")),
-            max_iters)
+        # fwd and bwd colorings are independent — run them from two
+        # driver threads so their per-iteration jobs interleave (the
+        # iterative loop is driver-latency-bound, not core-bound; the
+        # same reason the pipeline overlaps its pass-3/4 commits)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as pool:
+            f_fwd = pool.submit(_min_reach, init, e, max_iters)
+            f_bwd = pool.submit(
+                _min_reach, init,
+                e.select(F.col("t").alias("s"), F.col("s").alias("t")),
+                max_iters)
+            fwd, bwd = f_fwd.result(), f_bwd.result()
         assigned = (fwd.join(bwd.withColumnRenamed("lbl", "_b"), "v")
                     .filter(F.col("lbl") == F.col("_b"))
                     .select("v", F.col("lbl").alias("scc_id"))
