@@ -279,11 +279,13 @@ SELECT p.url, t.target_url FROM t JOIN pages p USING (doc_id)"""
 
 
 _FULL_CACHE: dict[str, dict] = {}
+_FULL_DIRS: dict[str, str] = {}
 
 
 def _run_full_pipeline(spark: SparkSession, sf_dir: str) -> dict:
     """Memoized FULL four-pass checkpointed pipeline (the real thing,
-    including pass 4 materialization) — feeds the end-to-end graph
+    including pass 4 materialization AND the optional layout artifacts —
+    z-ordered edges + trigram search index) — feeds the end-to-end graph
     queries so the correctness gate exercises production code."""
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _FULL_CACHE:
@@ -292,9 +294,16 @@ def _run_full_pipeline(spark: SparkSession, sf_dir: str) -> dict:
         from gitnexus_spark.plans.pipeline import KGPipeline
 
         out_dir = tempfile.mkdtemp(prefix="kg_entry_")
-        pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark))
+        pipe = KGPipeline(spark, out_dir, alias_dict=alias_dictionary(spark),
+                          optimize_layout=True)
         _FULL_CACHE[key] = pipe.run(synth_pages(spark, sf_dir))
+        _FULL_DIRS[key] = out_dir
     return _FULL_CACHE[key]
+
+
+def _full_pipeline_dir(spark: SparkSession, sf_dir: str) -> str:
+    _run_full_pipeline(spark, sf_dir)
+    return _FULL_DIRS[f"{spark.sparkContext.applicationId}:{sf_dir}"]
 
 
 def q_kg_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,6 +419,38 @@ def synth_pages_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("/s"), (F.col("doc_id") % 10).cast("string"),
                  F.lit("/p"), F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
     )
+
+
+def q_kg_edge_lookup_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint lookup over the pass-4 z-ordered edge layout
+    (edges_zorder, written by KGPipeline(optimize_layout=True)): the
+    LINKS_TO out-edges of doc 0's page, read through
+    graph_queries.lookup_edges so the pruned-layout path is the one the
+    gate checks. Oracle = the generation arithmetic for doc 0's links
+    (page d links to (3d+1)%n and (11d+7)%n)."""
+    from gitnexus_spark.functions.ids import node_id
+    from gitnexus_spark.operators.graph_queries import lookup_edges
+
+    out_dir = _full_pipeline_dir(spark, sf_dir)
+    start = (
+        synth_pages_urls(spark, sf_dir).filter(F.col("doc_id") == 0)
+        .select(node_id("Page", F.col("url")).alias("id"))
+        .collect()[0]["id"]
+    )
+    pages_dim = synth_pages_urls(spark, sf_dir).select(
+        node_id("Page", F.col("url")).alias("dst"), "doc_id")
+    return (
+        lookup_edges(spark, out_dir, src=start)
+        .filter(F.col("type") == "LINKS_TO")
+        .join(pages_dim, "dst")
+        .select(F.col("doc_id").alias("target_doc"))
+    )
+
+
+SQL_KG_EDGE_LOOKUP_ZORDER = """WITH params AS (SELECT COUNT(*) AS n FROM documents)
+SELECT DISTINCT t AS target_doc FROM (
+    SELECT (0 * 3 + 1) % n AS t FROM params
+    UNION ALL SELECT (0 * 11 + 7) % n FROM params)"""
 
 
 SQL_KG_TWO_HOP = """WITH params AS (SELECT COUNT(*) AS n FROM documents),
@@ -2546,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "corpus_prep": q_corpus_prep,
         # -- tier 2: the KG flagship block (green r3+r4; must stay visible) --
+        "kg_edge_lookup_zorder": q_kg_edge_lookup_zorder,
         "kg_pass1_text": q_kg_pass1_text,
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2619,6 +2661,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cypher_varlen": SQL_KG_CYPHER_VARLEN,
         "kg_cypher_optional_with": SQL_KG_CYPHER_OPTIONAL_WITH,
         "kg_cypher_shortest": SQL_KG_CYPHER_SHORTEST,
+        "kg_edge_lookup_zorder": SQL_KG_EDGE_LOOKUP_ZORDER,
         "kg_two_hop": SQL_KG_TWO_HOP,
         "kg_two_hop_bucketed": SQL_KG_TWO_HOP,
         "kg_paths_between": SQL_KG_PATHS_BETWEEN,
