@@ -46,6 +46,13 @@ def main() -> None:
                     help="LIMIT appended to statements that have none")
     ap.add_argument("--json", action="store_true",
                     help="one JSON object per row instead of TSV")
+    ap.add_argument("--cache-dir", default=None,
+                    help="query-result cache dir: a repeated or "
+                         "paraphrased --question re-reads the committed "
+                         "rows instead of re-running (plans/query_cache)")
+    ap.add_argument("--question", default=None,
+                    help="natural-language question the statement answers "
+                         "(cache match key; defaults to the statement)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -57,13 +64,27 @@ def main() -> None:
     nodes = spark.read.parquet(os.path.join(args.warehouse, "nodes"))
     edges = spark.read.parquet(os.path.join(args.warehouse, "edges"))
     register_views(nodes, edges)
-    if args.cypher:
-        from gitnexus_spark.cypher import cypher_query
+    def build():
+        if args.cypher:
+            from gitnexus_spark.cypher import cypher_query
 
-        df = cypher_query(nodes, edges, args.cypher,
-                          auto_limit=args.auto_limit)
+            return cypher_query(nodes, edges, args.cypher,
+                                auto_limit=args.auto_limit)
+        return guarded_sql(spark, args.sql, auto_limit=args.auto_limit)
+
+    stmt = args.cypher or args.sql
+    if args.cache_dir:
+        # reference behavior: the chat layer answers a repeated/paraphrased
+        # question from its query cache (query-cache.ts getBestQuery)
+        # instead of re-executing; here the cached artifact is the
+        # materialized result table itself.
+        from gitnexus_spark.plans.query_cache import QueryCache
+
+        qc = QueryCache(spark, args.cache_dir)
+        df, was_hit = qc.get_or_run(args.question or stmt, stmt, build)
+        print(f"cache: {'hit' if was_hit else 'miss'}", file=sys.stderr)
     else:
-        df = guarded_sql(spark, args.sql, auto_limit=args.auto_limit)
+        df = build()
     cols = df.columns
     if args.json:
         for row in df.toLocalIterator():
