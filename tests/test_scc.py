@@ -72,3 +72,29 @@ def test_randomized_vs_brute(spark):
     pairs = [(u, v) for u, v in pairs if u != v]
     got = _run(spark, pairs, nodes=nodes)
     assert got == _brute_scc(pairs, nodes)
+
+
+def test_distributed_path_parity(spark):
+    """driver_threshold=0 forces the FW-BW coloring path; results must
+    match the driver-Tarjan path and brute force on the same instance."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    nodes = [f"m{i:02d}" for i in range(40)]
+    pairs = list({(nodes[rng.randint(40)], nodes[rng.randint(40)])
+                  for _ in range(90)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    nd = spark.createDataFrame([(x,) for x in nodes], "v string")
+    dist = strongly_connected_components(e, nodes=nd, driver_threshold=0)
+    got = {r["v"]: r["scc_id"] for r in dist.collect()}
+    assert got == _brute_scc(pairs, nodes)
+
+
+def test_driver_path_long_cycle(spark):
+    """A 400-cycle — the shape that is diameter-bound for distributed
+    relaxation — resolves through the driver-Tarjan gate instantly."""
+    n = 400
+    pairs = [(f"c{i:03d}", f"c{(i + 1) % n:03d}") for i in range(n)]
+    got = _run(spark, pairs)
+    assert set(got.values()) == {"c000"}
+    assert len(got) == n
