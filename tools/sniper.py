@@ -23,14 +23,25 @@ import time
 GATE = float(os.environ.get("SNIPER_GATE", "2.0"))
 
 
-def wait_quiet(max_wait: int = 1800) -> float:
-    t0 = time.time()
-    while time.time() - t0 < max_wait:
+def wait_quiet() -> float:
+    """Block until the 1-minute loadavg is under the gate.
+
+    Never fires into a loud window: a leg started under load measures
+    the neighbors, so waiting longer is strictly cheaper than running a
+    doomed 10-35 min trial (the earlier timeout-then-fire-anyway
+    behavior burned whole quiet windows on polluted legs). Requires two
+    consecutive sub-gate readings 15 s apart so a single transient dip
+    between neighbor bursts doesn't trigger a leg."""
+    quiet_streak = 0
+    while True:
         la = os.getloadavg()[0]
         if la < GATE:
-            return la
-        time.sleep(30)
-    return os.getloadavg()[0]
+            quiet_streak += 1
+            if quiet_streak >= 2:
+                return la
+        else:
+            quiet_streak = 0
+        time.sleep(15)
 
 
 def main() -> None:
