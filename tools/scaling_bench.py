@@ -19,7 +19,7 @@ import subprocess
 import sys
 
 RUNNER = r"""
-import json, shutil, sys, time
+import json, os, shutil, sys, time
 sys.path.insert(0, ".")
 cpus, rep, sf_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 mode = sys.argv[4] if len(sys.argv) > 4 else "pipeline"
@@ -32,11 +32,13 @@ from bench import replicate_pages
 # caps measured scaling at the disk, not the code. On a real N->4N
 # cluster, executor-local disks and the object store scale WITH the
 # executors -- tmpfs approximates that storage-scales-with-compute regime.
-out_dir = f"/dev/shm/scaling_kg_{cpus}"
+# pid-suffixed so a straggler leg at the same level can't rmtree a live
+# leg's shuffle/checkpoint files out from under it
+out_dir = f"/dev/shm/scaling_kg_{cpus}_{os.getpid()}"
 shutil.rmtree(out_dir, ignore_errors=True)
 # IDENTICAL job at both levels: fixed shuffle partitioning and fixed input
 # partitioning -- only the executor thread count varies between N and 4N.
-local_dir = f"/dev/shm/spark_local_{cpus}"
+local_dir = f"/dev/shm/spark_local_{cpus}_{os.getpid()}"
 shutil.rmtree(local_dir, ignore_errors=True)
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=32,
                   app_name=f"scaling-{cpus}",
