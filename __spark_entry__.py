@@ -1278,7 +1278,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gitnexus_spark.operators.dedup import simhash_hex
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_hex(docs).select("doc_id", "simhash_hex")
+    return simhash_hex(docs, id_col="doc_id").select("doc_id", "simhash_hex")
 
 
 SQL_DEDUP_SIMHASH = """WITH w AS (
@@ -1312,11 +1312,13 @@ FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.03"""
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gitnexus_spark.functions.text import (with_lang_id, with_quality_score,
-                                               with_token_count)
+    # fused codegen form (r06): same values as
+    # with_quality_score(with_lang_id(with_token_count(docs))), without
+    # the per-token interpreted lambdas — see functions/text.py
+    from gitnexus_spark.functions.text import text_stats_agg
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return with_quality_score(with_lang_id(with_token_count(docs))) \
+    return text_stats_agg(docs) \
         .select("doc_id", "n_tokens", "token_estimate", "lang_pred", "quality")
 
 

@@ -99,6 +99,113 @@ def with_quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def _stop_dim(spark, langs: list[str]):
+    """Broadcastable stopword dimension: (_tok, _is_stop, _in_<lang>...)."""
+    all_stops = sorted({s for v in STOPWORDS.values() for s in v})
+    rows = [
+        tuple([w, 1] + [1 if w in STOPWORDS[lg] else 0 for lg in langs])
+        for w in all_stops
+    ]
+    return spark.createDataFrame(
+        rows, ["_tok", "_is_stop"] + [f"_in_{lg}" for lg in langs])
+
+
+_QUALITY_EXPR = (
+    "0.4 * (least(cast(_n_words as double) / 200.0, 1.0)) "
+    "+ 0.3 * (least((cast(_n_stop as double) / greatest(_n_words, 1)) * 4.0, 1.0)) "
+    "+ 0.3 * (greatest(1.0 - abs((cast(_sum_len as double) / greatest(_n_words, 1)) - 5.5) / 5.5, "
+    "cast(0 as double)))"
+)
+
+
+def quality_agg(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, quality) — same values as ``with_quality_score`` (same
+    arithmetic, same rounding), via the codegen token stream + one
+    partial-aggregated groupBy instead of the per-token interpreted
+    filter/array_contains lambda. Used by corpus_prep; the row-preserving
+    with_quality_score stays for callers without an id key."""
+    spark = df.sparkSession
+    words = _words(text_col)
+    toks = df.select(id_col, F.explode_outer(F.expr(words)).alias("_tok"))
+    dim = _stop_dim(spark, []).select("_tok", "_is_stop")
+    agg = (toks.join(F.broadcast(dim), "_tok", "left")
+           .groupBy(id_col).agg(
+               F.count("*").alias("_n_words"),
+               F.sum(F.length("_tok")).alias("_sum_len"),
+               F.sum(F.coalesce("_is_stop", F.lit(0))).alias("_n_stop")))
+    return agg.select(id_col, F.round(F.expr(_QUALITY_EXPR), 6).alias("quality"))
+
+
+def text_stats_agg(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, token_estimate, lang_pred, quality) — the fused
+    codegen form of with_token_count + with_lang_id + with_quality_score
+    for id-keyed corpora (bit-identical values; see tests).
+
+    The per-row form pays interpreted higher-order lambdas per token
+    (filter + array_contains over the stopword array) plus four
+    array_intersect passes per doc. This form explodes the token stream
+    once, joins it against a broadcast stopword dimension (hash probe per
+    token), and reduces with two partial-aggregated groupBys:
+    (id, token) -> distinct-token lang hits, then (id) -> counts. The
+    scan-local scalars (token_estimate, CJK share, empty-text flag) ride
+    on the doc side and join back on id.
+
+    Same arithmetic, same literals, same rounding as the with_* forms:
+    - n_tokens       = if(trim(text)='', 0, size(tokens))
+    - lang hits      = DISTINCT doc tokens per language pack
+      (array_intersect dedups; the (id, token) pre-aggregation preserves
+      that)
+    - stopword count = token OCCURRENCES in the union pack (filter does
+      not dedup; cnt-weighted sum preserves that)
+    """
+    spark = df.sparkSession
+    langs = LANG_PRIORITY
+    dim = _stop_dim(spark, langs)
+
+    words = _words(text_col)
+    doc_side = df.select(
+        id_col,
+        F.expr(f"cast(ceil(length({text_col}) / 4.0) as bigint)")
+        .alias("token_estimate"),
+        F.expr(f"trim({text_col}) = ''").alias("_empty"),
+        F.expr(
+            f"length(regexp_replace({text_col}, "
+            f"'[^\\\\x{{4e00}}-\\\\x{{9fff}}]', '')) * 4 "
+            f"> length({text_col})"
+        ).alias("_zh"),
+    )
+    toks = df.select(id_col, F.explode_outer(F.expr(words)).alias("_tok"))
+    per_tok = toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_cnt"))
+    per_tok = per_tok.join(F.broadcast(dim), "_tok", "left")
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("_cnt").alias("_n_words"),
+        F.sum(F.col("_cnt") * F.length("_tok")).alias("_sum_len"),
+        F.sum(F.col("_cnt") * F.coalesce("_is_stop", F.lit(0)))
+        .alias("_n_stop"),
+        *[F.sum(F.coalesce(f"_in_{lg}", F.lit(0))).alias(f"_hits_{lg}")
+          for lg in langs],
+    )
+    d = doc_side.join(agg, id_col)
+
+    best = "greatest(" + ", ".join(f"_hits_{lg}" for lg in langs) + ")"
+    pick = "case "
+    for lg in langs:
+        pick += f"when _hits_{lg} = {best} then '{lg}' "
+    pick += "end"
+    return d.select(
+        id_col,
+        # cast to INT: the with_* form's size() is int-typed, and the
+        # declared schema must not drift under the driver's gate
+        F.expr("if(_empty, 0, cast(_n_words as int))").alias("n_tokens"),
+        "token_estimate",
+        F.expr(f"case when _zh then 'zh' when {best} = 0 then 'und' "
+               f"else {pick} end").alias("lang_pred"),
+        F.round(F.expr(_QUALITY_EXPR), 6).alias("quality"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
                      shingle_n: int = 3, out_col: str = "fingerprint") -> DataFrame:
     """Bottom-k sketch fingerprint: the k smallest md5(shingle) values,

