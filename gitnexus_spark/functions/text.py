@@ -125,9 +125,12 @@ def quality_agg(df: DataFrame, id_col: str = "doc_id",
     partial-aggregated groupBy instead of the per-token interpreted
     filter/array_contains lambda. Used by corpus_prep; the row-preserving
     with_quality_score stays for callers without an id key."""
+    from ..plans.hints import spread_small_input
+
     spark = df.sparkSession
     words = _words(text_col)
-    toks = df.select(id_col, F.explode_outer(F.expr(words)).alias("_tok"))
+    toks = spread_small_input(df.select(id_col, text_col)) \
+        .select(id_col, F.explode_outer(F.expr(words)).alias("_tok"))
     dim = _stop_dim(spark, []).select("_tok", "_is_stop")
     agg = (toks.join(F.broadcast(dim), "_tok", "left")
            .groupBy(id_col).agg(
@@ -160,6 +163,8 @@ def text_stats_agg(df: DataFrame, id_col: str = "doc_id",
     - stopword count = token OCCURRENCES in the union pack (filter does
       not dedup; cnt-weighted sum preserves that)
     """
+    from ..plans.hints import spread_small_input
+
     spark = df.sparkSession
     langs = LANG_PRIORITY
     dim = _stop_dim(spark, langs)
@@ -176,7 +181,8 @@ def text_stats_agg(df: DataFrame, id_col: str = "doc_id",
             f"> length({text_col})"
         ).alias("_zh"),
     )
-    toks = df.select(id_col, F.explode_outer(F.expr(words)).alias("_tok"))
+    toks = spread_small_input(df.select(id_col, text_col)) \
+        .select(id_col, F.explode_outer(F.expr(words)).alias("_tok"))
     per_tok = toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_cnt"))
     per_tok = per_tok.join(F.broadcast(dim), "_tok", "left")
     agg = per_tok.groupBy(id_col).agg(

@@ -72,9 +72,11 @@ def gram_stream(df: DataFrame, id_cols: list[str], text_col: str = "text",
     count_distinct / min (identical results: duplicates don't change a
     distinct count or a min).
     """
+    from ..plans.hints import spread_small_input
+
     words = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
     return (
-        df.withColumn("_gs_w", F.expr(words))
+        spread_small_input(df).withColumn("_gs_w", F.expr(words))
         .select(*id_cols, "_gs_w",
                 F.explode_outer(F.expr(
                     f"sequence(1, greatest(size(_gs_w) - {n - 1}, 1))"
@@ -516,9 +518,12 @@ def simhash_agg(df: DataFrame, id_col: str = "doc_id",
     OCCURRENCE (substring + instr each); measured at sf1.0 this form is
     ~5x faster end to end.
     """
+    from ..plans.hints import spread_small_input
+
     assert bits <= 32
     words = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
-    toks = df.select(id_col, F.explode_outer(F.expr(words)).alias("_sh_tok"))
+    toks = spread_small_input(df.select(id_col, text_col)) \
+        .select(id_col, F.explode_outer(F.expr(words)).alias("_sh_tok"))
     g0 = toks.groupBy(id_col, "_sh_tok").agg(F.count("*").alias("_sh_cnt"))
     m = g0.select(
         id_col, "_sh_cnt",

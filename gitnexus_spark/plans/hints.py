@@ -62,6 +62,29 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan's scan is narrower than
+    the session's parallelism.
+
+    Single-row-group parquet files (the shape of small at-rest corpora)
+    cannot split: every byte-range split except one is empty, so the scan
+    — and any explode / Arrow stage fused above it — runs on ONE task
+    while the other cores idle. A cheap round-robin exchange of the raw
+    rows restores parallelism (guide §2.5: sort-before-repartition keeps
+    the row->partition assignment deterministic under retries, and the
+    operators this feeds are all partition-order-independent).
+
+    At scale this is a NO-OP: any real input carries >= cores partitions
+    already, so no shuffle is ever added — the guard is a measurement
+    (getNumPartitions), not a constant tuned to local mode.
+    """
+    sc = df.sparkSession.sparkContext
+    p = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def broadcast_if_small(df: DataFrame, est_bytes: int,
                        max_bytes: int = BROADCAST_MAX_BYTES) -> DataFrame:
     """``F.broadcast(df)`` iff the estimate fits; otherwise df unhinted

@@ -198,8 +198,16 @@ class ParquetWriter:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
-    def read(self, path: str) -> DataFrame:
-        return self.spark.read.parquet(path)
+    def read(self, path: str, schema=None) -> DataFrame:
+        """``schema`` (when the caller just wrote the table and knows it)
+        skips the footer-inference job the schemaless read runs — one
+        fewer driver-latency job per committed pass (guide §1.2: the
+        pipeline wall is a chain of small jobs, so per-job cost is the
+        scaling term). Resume reads pass no schema and infer as before."""
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(path)
 
     def exists(self, path: str) -> bool:
         return _done(path)
@@ -239,7 +247,14 @@ class KGPipeline:
         rows = int(obs.get.get("rows", -1))
         self._rows[name] = rows
         self._lineage_rows.append((name, path, rows, round(time.time() - t0, 3)))
-        return self.writer.read(path)
+        # read back with the schema we just wrote (partition columns move
+        # to the tail, string-typed as the directory encoding stores them)
+        from pyspark.sql.types import StructType
+        pby = set(partition_by or [])
+        read_schema = StructType(
+            [f for f in df.schema.fields if f.name not in pby]
+            + [f for f in df.schema.fields if f.name in pby])
+        return self.writer.read(path, schema=read_schema)
 
     def _load_or(self, name: str, builder, partition_by=None) -> DataFrame:
         path = _table(self.out_dir, name)
@@ -385,8 +400,12 @@ class KGPipeline:
                             raw_triples.select(F.col("obj").alias("name")))
                         .dropDuplicates(["name"])
                     )
+                    # persisted: the candidates isEmpty probe, the
+                    # candidates build AND the name_links build all
+                    # execute this vocabulary-scale plan — without the
+                    # pin the endpoint distinct + registry join runs 3x
                     _m.append(exact_resolution_map(names, registry,
-                                                   self.alias_dict))
+                                                   self.alias_dict).persist())
                 return _m[0]
 
             def p3_cands():
@@ -553,6 +572,8 @@ class KGPipeline:
             f_nodes = pool.submit(self._load_or, "nodes", p4_nodes, ["label"])
             f_edges = pool.submit(self._load_or, "edges", p4_edges, ["type"])
             nodes, edges = f_nodes.result(), f_edges.result()
+            if _m:  # release the exact-map pin (commits all landed)
+                _m[0].unpersist()
 
         if self.optimize_layout:
             self._optimize_layout(nodes, edges)
