@@ -173,6 +173,20 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
     for _ in range(max_outer):
         if remaining.isEmpty():
             break
+        # driver gate FIRST: when the (remaining) graph already fits the
+        # collected-Tarjan budget, peeling is pure driver-latency waste —
+        # each peel pass costs ~6 small jobs and Tarjan handles the
+        # acyclic fringe in the same O(V+E) pass anyway. Peeling only
+        # earns its keep ABOVE the gate, where it shrinks the cyclic
+        # core the distributed coloring must process.
+        if e.count() <= driver_threshold:
+            assigned = _driver_tarjan(e, remaining).localCheckpoint()
+            result = assigned if result is None \
+                else result.unionByName(assigned)
+            remaining = remaining.join(assigned, "v", "left_anti") \
+                .localCheckpoint(eager=False)
+            remaining.count()
+            break
         # trim: a node with no remaining in-edges or no remaining
         # out-edges cannot be on a cycle — it is its own SCC. A few
         # bounded peel passes per round dispose of the acyclic fringe

@@ -128,20 +128,25 @@ def structure_graph(pages: DataFrame,
         "url", "host",
         F.expr("slice(split(path, '/'), 2, greatest(size(split(path,'/')) - 2, 0))").alias("dirs"),
     )
+    # null-prefix rows (urls with no dirs) are KEPT: `deepest` below then
+    # covers every url, so the Domain-fallback parent needs no join back
+    # onto the page table (one fewer page-scale shuffle join); the
+    # section consumers filter the nulls out instead.
     prefixes = segs.select(
         "url", "host",
         F.posexplode_outer(
             F.expr("transform(dirs, (d, i) -> concat_ws('/', slice(dirs, 1, i + 1)))")
         ).alias("depth", "prefix"),
-    ).filter(F.col("prefix").isNotNull())
+    )
     if cache_handles is not None:
         prefixes = prefixes.persist()
         cache_handles.append(prefixes)
 
     section_key = F.concat_ws("/", F.col("host"), F.col("prefix"))
     section_nodes = (
-        prefixes.select(section_key.alias("skey"),
-                        F.element_at(F.split("prefix", "/"), -1).alias("name"))
+        prefixes.filter(F.col("prefix").isNotNull())
+        .select(section_key.alias("skey"),
+                F.element_at(F.split("prefix", "/"), -1).alias("name"))
         .dropDuplicates(["skey"])
         .select(
             node_id("Section", F.col("skey")).alias("id"),
@@ -169,7 +174,7 @@ def structure_graph(pages: DataFrame,
     )
 
     # Domain -> first Section; Section -> child Section (parent = prefix minus last seg)
-    sec = prefixes.select(
+    sec = prefixes.filter(F.col("prefix").isNotNull()).select(
         "host", "prefix", "depth",
         node_id("Section", section_key).alias("sid"),
     ).dropDuplicates(["sid"])
@@ -190,13 +195,15 @@ def structure_graph(pages: DataFrame,
         F.col("sid").alias("dst"),
     )
 
-    # deepest container -> Page (Domain when the path has no dirs)
+    # deepest container -> Page (Domain when the path has no dirs).
+    # prefixes keeps a null row for dir-less urls, so the aggregation
+    # covers EVERY page and no join back onto the page table is needed.
     deepest = (
         prefixes.groupBy("url", "host").agg(
             F.max_by("prefix", "depth").alias("prefix")
         )
     )
-    page_parent = p.join(deepest, ["url", "host"], "left").select(
+    page_parent = deepest.select(
         F.lit("CONTAINS").alias("type"),
         F.when(
             F.col("prefix").isNotNull(),

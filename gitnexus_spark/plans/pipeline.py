@@ -515,9 +515,16 @@ class KGPipeline:
                 )
                 return struct_nodes.unionByName(ents).dropDuplicates(["id"])
 
+            _p4_pins: list = []
+
             def p4_edges():
+                # pinned: the LINKS_TO branch joins this twice (source +
+                # target endpoint) and MENTIONS once — one page-partition
+                # scan + md5 pass instead of three
                 page_ids = pages_text.select(
-                    "url", node_id("Page", F.col("url")).alias("page_id"))
+                    "url", node_id("Page", F.col("url")).alias("page_id")) \
+                    .persist()
+                _p4_pins.append(page_ids)
                 # LINKS_TO: page -> page (IMPORTS analogue, endpoint join J4);
                 # relative hrefs are normalized against the source page first
                 # (P7, reference import-processor.ts:522-606)
@@ -574,6 +581,8 @@ class KGPipeline:
             nodes, edges = f_nodes.result(), f_edges.result()
             if _m:  # release the exact-map pin (commits all landed)
                 _m[0].unpersist()
+            for df in _p4_pins:
+                df.unpersist()
 
         if self.optimize_layout:
             self._optimize_layout(nodes, edges)
