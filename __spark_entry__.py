@@ -1376,10 +1376,12 @@ FROM documents"""
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gitnexus_spark.functions.text import with_fingerprint
+    # aggregation form (r06): same values as with_fingerprint without
+    # the per-row interpreted transform/array_sort — functions/text.py
+    from gitnexus_spark.functions.text import fingerprint_agg
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return with_fingerprint(docs).select(
+    return fingerprint_agg(docs).select(
         "doc_id", F.md5(F.concat_ws(",", "fingerprint")).alias("fp_hash"))
 
 
@@ -2551,70 +2553,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the external driver checks entries in dict order and its
-    # CORRECTNESS file has historically capped at 50 rows. Entries that have
-    # never (or least recently) had a driver-green row run FIRST, cheapest
-    # first within a tier; the long-stable kg_* block follows; simple
-    # relational queries (green in every round since r1) sit at the tail and
-    # absorb any truncation.
+    # ORDER MATTERS — STANDING ROTATION RULE (r6, per the r5 verdict): the
+    # external driver checks entries in dict order and its CORRECTNESS file
+    # has historically capped at 50 rows. Each round, rotate to the FRONT
+    # (a) every entry that fell out of the previous round's driver window
+    # (so no query goes two rounds without a fresh external green row),
+    # then (b) every entry whose implementation changed this round; the
+    # remaining entries — all green in the immediately previous round and
+    # unchanged — absorb the truncation. For r7: the r6 window covered
+    # tiers 1+2 below; rotate tier 3 (r5-green, unchanged in r6) forward.
     return {
-        # -- tier 1: no driver row as of r4 (plus queries new this round) ---
-        "text_stats": q_text_stats,
-        "repetition_stats": q_repetition_stats,
-        "fingerprint": q_fingerprint,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "mix_report": q_mix_report,
-        "events_cube": q_events_cube,
-        "events_rolling": q_events_rolling,
-        "events_pivot": q_events_pivot,
-        "asof_join_events": q_asof_join_events,
-        "asof_join_bucketed": q_asof_join_bucketed,
-        "heavy_hitter_words": q_heavy_hitter_words,
-        "sketch_distinct_rollup": q_sketch_distinct_rollup,
-        "sketch_overlap_langs": q_sketch_overlap_langs,
-        "sketch_quantile_rollup": q_sketch_quantile_rollup,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "similarity_ivf_at_rest": q_similarity_ivf_at_rest,
-        "pq_search": q_pq_search,
-        "pq_search_ranked": q_pq_search_ranked,
-        "snapshot_merge": q_snapshot_merge,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "decontaminate": q_decontaminate,
-        "corpus_prep": q_corpus_prep,
-        # -- tier 2: the KG flagship block (green r3+r4; must stay visible) --
-        "kg_edge_lookup_zorder": q_kg_edge_lookup_zorder,
-        "kg_pass1_text": q_kg_pass1_text,
-        "kg_mentions": q_kg_mentions,
-        "kg_triples_raw": q_kg_triples_raw,
-        "kg_triples_resolved": q_kg_triples_resolved,
-        "kg_linking_stages": q_kg_linking_stages,
-        "kg_entities": q_kg_entities,
-        "kg_structure_counts": q_kg_structure_counts,
-        "kg_links": q_kg_links,
-        "kg_edge_counts": q_kg_edge_counts,
-        "kg_fuzzy_locality": q_kg_fuzzy_locality,
-        "kg_top_entities": q_kg_top_entities,
-        "kg_two_hop_bucketed": q_kg_two_hop_bucketed,
-        "kg_pagerank": q_kg_pagerank,
-        "kg_scc": q_kg_scc,
-        "kg_search_indexed": q_kg_search_indexed,
-        "kg_span_attribution": q_kg_span_attribution,
-        "kg_extraction_diagnostics": q_kg_extraction_diagnostics,
-        "kg_cypher_top_mentions": q_kg_cypher_top_mentions,
-        "kg_cypher_acquired": q_kg_cypher_acquired,
-        "kg_cypher_varlen": q_kg_cypher_varlen,
+        # -- tier 1: fell outside the 50-entry r5 window (last driver rows
+        # r4 or earlier) — every one gets a fresh r6 row ------------------
         "kg_cypher_optional_with": q_kg_cypher_optional_with,
         "kg_cypher_shortest": q_kg_cypher_shortest,
         "archive_pages": q_archive_pages,
         "embedding_near_dup": q_embedding_near_dup,
-        # -- tier 3: stable since r1/r2 — absorbs driver-window truncation ---
         "kg_two_hop": q_kg_two_hop,
         "kg_paths_between": q_kg_paths_between,
         "kg_var_length_paths": q_kg_var_length_paths,
@@ -2641,6 +2595,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": q_events_latest_per_user,
         "events_tumbling": q_events_tumbling,
         "json_extract_events": q_json_extract_events,
+        # -- tier 2: implementation changed in r6 (codegen rewrites, star
+        # edges, SCC gate, structure-graph plan) — kept inside the window
+        # so the external gate re-verifies every changed plan ------------
+        "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
+        "fingerprint": q_fingerprint,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "corpus_prep": q_corpus_prep,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ivf_at_rest": q_similarity_ivf_at_rest,
+        "kg_scc": q_kg_scc,
+        "kg_structure_counts": q_kg_structure_counts,
+        "kg_edge_counts": q_kg_edge_counts,
+        "kg_edge_lookup_zorder": q_kg_edge_lookup_zorder,
+        "kg_two_hop_bucketed": q_kg_two_hop_bucketed,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_top_entities": q_kg_top_entities,
+        "kg_mentions": q_kg_mentions,
+        # -- tier 3: r5-green and unchanged in r6 — absorbs the driver-
+        # window truncation; rotate these forward in r7 ------------------
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "mix_report": q_mix_report,
+        "events_cube": q_events_cube,
+        "events_rolling": q_events_rolling,
+        "events_pivot": q_events_pivot,
+        "asof_join_events": q_asof_join_events,
+        "asof_join_bucketed": q_asof_join_bucketed,
+        "heavy_hitter_words": q_heavy_hitter_words,
+        "sketch_distinct_rollup": q_sketch_distinct_rollup,
+        "sketch_overlap_langs": q_sketch_overlap_langs,
+        "sketch_quantile_rollup": q_sketch_quantile_rollup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "pq_search": q_pq_search,
+        "pq_search_ranked": q_pq_search_ranked,
+        "snapshot_merge": q_snapshot_merge,
+        "kg_pass1_text": q_kg_pass1_text,
+        "kg_triples_raw": q_kg_triples_raw,
+        "kg_triples_resolved": q_kg_triples_resolved,
+        "kg_linking_stages": q_kg_linking_stages,
+        "kg_entities": q_kg_entities,
+        "kg_links": q_kg_links,
+        "kg_fuzzy_locality": q_kg_fuzzy_locality,
+        "kg_search_indexed": q_kg_search_indexed,
+        "kg_span_attribution": q_kg_span_attribution,
+        "kg_extraction_diagnostics": q_kg_extraction_diagnostics,
+        "kg_cypher_top_mentions": q_kg_cypher_top_mentions,
+        "kg_cypher_acquired": q_kg_cypher_acquired,
+        "kg_cypher_varlen": q_kg_cypher_varlen,
     }
 
 

@@ -226,6 +226,24 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
     ).drop("shingles")
 
 
+def fingerprint_agg(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    shingle_n: int = 3,
+                    out_col: str = "fingerprint") -> DataFrame:
+    """(id, fingerprint) — same values as ``with_fingerprint`` (distinct
+    shingles have distinct md5s, so collect_set over the positional gram
+    stream sorts to the same bottom-k), computed on the codegen gram
+    stream + one partial-aggregated groupBy instead of per-row
+    interpreted transform/array_sort lambdas."""
+    from ..operators.dedup import gram_stream
+
+    g = gram_stream(df.select(id_col, text_col), [id_col], text_col,
+                    shingle_n)
+    return (g.groupBy(id_col)
+            .agg(F.expr(f"slice(array_sort(collect_set(md5(gram))), 1, {k})")
+                 .alias(out_col)))
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", gram_n: int = 2) -> DataFrame:
     """Gopher-style repetition quality signals, per document:
@@ -246,6 +264,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     (Gopher Rule-of-thumb thresholds: dup_line_frac > 0.30,
     top_2gram_frac > 0.20).
     """
+    from ..plans.hints import spread_small_input
+
     words = _words(text_col)
     lines = (
         f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), "
@@ -255,18 +275,24 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         f"round(1.0 - cast(size(array_distinct({lines})) as double) "
         f"/ greatest(size({lines}), 1), 6)"
     )
-    base = df.select(
+    base = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.expr(f"size({words})").alias("n_words"),
         F.expr(dup_line).alias("dup_line_frac"),
         F.expr(words).alias("_w"),
     )
+    # codegen gram construction (explode a position sequence + slice)
+    # instead of the interpreted transform the optimizer re-evaluates in
+    # the inferred size()>0 filter — same grams, duplicates retained as
+    # before (the gram census counts occurrences)
     grams = base.select(
+        id_col, "_w",
+        F.explode_outer(F.expr(
+            f"sequence(1, greatest(size(_w) - {gram_n - 1}, 1))"
+        )).alias("_gi"),
+    ).select(
         id_col,
-        F.explode(F.expr(
-            f"transform(sequence(1, greatest(size(_w) - {gram_n - 1}, 1)), "
-            f"i -> concat_ws(' ', slice(_w, i, {gram_n})))"
-        )).alias("gram"),
+        F.expr(f"concat_ws(' ', slice(_w, _gi, {gram_n}))").alias("gram"),
     )
     per_doc = (
         grams.groupBy(id_col, "gram").count()

@@ -116,6 +116,17 @@ def test_quality_agg_matches_with_quality_score(adv_docs):
     assert _rows(old) == _rows(new)
 
 
+def test_fingerprint_agg_matches_with_fingerprint(adv_docs):
+    from gitnexus_spark.functions.text import (fingerprint_agg,
+                                               with_fingerprint)
+
+    old = with_fingerprint(adv_docs).select(
+        "doc_id", F.expr("cast(fingerprint as string)").alias("fp"))
+    new = fingerprint_agg(adv_docs).select(
+        "doc_id", F.expr("cast(fingerprint as string)").alias("fp"))
+    assert _rows(old) == _rows(new)
+
+
 def test_near_dup_star_edges_match_clique_pairs(spark):
     """Star edges per LSH band group must produce the same components as
     the full C(k,2) clique pairs (same transitive closure)."""
