@@ -342,9 +342,15 @@ class SnapshotWriter:
 
     def read(self, path: str, snapshot_id: int | None = None,
              tag: str | None = None,
-             as_of_ts: float | None = None) -> DataFrame:
+             as_of_ts: float | None = None, schema=None) -> DataFrame:
+        """``schema`` (writer-seam contract, same as ParquetWriter.read):
+        a caller that just wrote the table may supply the known schema to
+        skip the footer-inference job."""
         e = self._resolve(path, snapshot_id, tag, as_of_ts)
-        return self.spark.read.parquet(os.path.join(path, e["dir"]))
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(os.path.join(path, e["dir"]))
 
     def exists(self, path: str) -> bool:
         try:
