@@ -309,14 +309,17 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
     # and can be released before the lazy tail is returned
     for h in handles:
         h.unpersist()
-    out = (
+    # sizes come from the component map alone: comp holds every
+    # CLUSTERED doc exactly once, and any doc absent from it is a
+    # singleton (size 1) — so the corpus-scale (docs ⋈ comp) frame is
+    # built ONCE instead of twice (once for sizes, once for the output)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
         df.select(id_col)
         .join(comp, id_col, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
-    )
-    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return (
-        out.join(sizes, "cluster_id")
+        .join(sizes, "cluster_id", "left")
+        .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
         .select(id_col, "cluster_id", "cluster_size",
                 (F.col(id_col) == F.col("cluster_id")).cast("int")
                 .alias("is_keeper"))

@@ -162,13 +162,14 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
     Tarjan pass on the trimmed cyclic core; pass 0 to force the
     distributed coloring path (tests)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")) \
-        .where(F.col("s") != F.col("t")).distinct().localCheckpoint()
+        .where(F.col("s") != F.col("t")).distinct() \
+        .localCheckpoint(eager=False)  # first action materializes
     universe = e.select(F.col("s").alias("v")) \
         .union(e.select(F.col("t").alias("v")))
     if nodes is not None:
         universe = universe.union(
             nodes.select(F.col(nodes.columns[0]).alias("v")))
-    remaining = universe.distinct().localCheckpoint()
+    remaining = universe.distinct().localCheckpoint(eager=False)
     result: DataFrame | None = None
     for _ in range(max_outer):
         if remaining.isEmpty():
@@ -183,9 +184,10 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
             assigned = _driver_tarjan(e, remaining).localCheckpoint()
             result = assigned if result is None \
                 else result.unionByName(assigned)
-            remaining = remaining.join(assigned, "v", "left_anti") \
-                .localCheckpoint(eager=False)
-            remaining.count()
+            # Tarjan assigns EVERY remaining vertex, so the remainder is
+            # empty by construction — no anti-join/count jobs needed
+            remaining = remaining.sparkSession.createDataFrame(
+                [], remaining.schema)
             break
         # trim: a node with no remaining in-edges or no remaining
         # out-edges cannot be on a cycle — it is its own SCC. A few
