@@ -17,11 +17,16 @@ Implementation rules:
 Scale notes (100 TB posture):
 - exact dedup: one shuffle on content hash (even distribution by
   construction).
-- MinHash-LSH: signatures computed scan-local; the candidate join
-  shuffles on (band_idx, band_hash) — band hashes are uniform, so no
-  skew; banding keeps the join linear-ish vs the O(n^2) naive join.
-- SimHash: scan-local fingerprint; near-dup candidates block on
-  band prefixes of the fingerprint.
+- MinHash-LSH: signatures via the codegen gram stream + one partial-
+  aggregated groupBy (the exchange carries num_hashes longs per doc,
+  not grams); the candidate join shuffles on (band_idx, band_hash) —
+  band hashes are uniform, so no skew; banding keeps the join
+  linear-ish vs the O(n^2) naive join; near-dup CLUSTERING replaces the
+  clique pairs with connectivity-equivalent per-band-group star edges
+  (O(k) per group, no quadratic self-join).
+- SimHash: codegen token-deduplicated fingerprint (two partial-agg'd
+  exchanges of per-doc rows); near-dup candidates block on band
+  prefixes of the fingerprint.
 - Shingle-based ops drop ultra-frequent shingles (prefix filtering)
   before joining, the same head-key guard as linking.py.
 """

@@ -120,48 +120,6 @@ def _brute_score_topk(corpus: DataFrame, query_rows: list, k: int,
     return src.mapInPandas(run, schema=schema)
 
 
-def _score_pairs(df: DataFrame, out_cols: list[str], vec_a: str,
-                 vec_b: str) -> DataFrame:
-    """Rowwise bit-exact fold cosine + parity round for pre-joined
-    vector pairs: emits (out_cols..., score) and drops both embedding
-    payloads BEFORE any downstream exchange (guide §2.3). The fold is
-    the same sequential per-dimension accumulation as the SQL
-    DOT/NORM expressions, vectorized across rows. Zero-norm vectors
-    yield NaN, as the expression path does."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    src = df.select(*out_cols, vec_a, vec_b)
-    schema = StructType([src.schema[c] for c in out_cols]
-                        + [StructField("score", DoubleType())])
-
-    def run(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            A = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_a]])
-            B = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_b]])
-            n, d = A.shape
-            dot = np.zeros(n)
-            na = np.zeros(n)
-            nb = np.zeros(n)
-            for j in range(d):
-                aj, bj = A[:, j], B[:, j]
-                dot += aj * bj
-                na += aj * aj
-                nb += bj * bj
-            s = dot / (np.sqrt(na) * np.sqrt(nb))
-            out = pdf[out_cols].copy()
-            out["score"] = [float("nan") if math.isnan(x)
-                            else _round6_spark(float(x)) for x in s]
-            yield out
-
-    return src.mapInPandas(run, schema=schema)
-
-
 def _partition_topk(scored: DataFrame, k: int,
                     q_id_col: str, id_col: str) -> DataFrame:
     """Phase 1 of distributed top-k: bounded per-partition selection
