@@ -44,17 +44,27 @@ def connected_components(
     distributed large-star/small-star loop takes over — identical
     results, O(log n) rounds.
     """
-    n_edges = edges.count()
-    if n_edges == 0:
+    # ONE bounded probe replaces the count-gate + collect double execution
+    # of the edge plan: at most threshold+1 narrow rows both decide the
+    # path and, in the under-gate case, already hold the whole edge set
+    # for the driver union-find (guide §1.2 — each extra action on this
+    # chain is a full re-run of the coreference-edge plan).
+    head = edges.select(src, dst).limit(driver_threshold + 1).collect()
+    if not head:
         return edges.sparkSession.createDataFrame([], "vertex string, component string")
-    if n_edges <= driver_threshold:
-        return _driver_union_find(edges, src, dst)
+    if len(head) <= driver_threshold:
+        return _union_find_rows(edges.sparkSession, head)
     return _large_small_star(edges, src, dst, max_iter, stats)
 
 
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Classic path-compressed union-find on collected edges; component =
     min member (same contract as the distributed path)."""
+    return _union_find_rows(edges.sparkSession,
+                            edges.select(src, dst).collect())
+
+
+def _union_find_rows(spark, rows) -> DataFrame:
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -65,18 +75,18 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # single collect (bounded by driver_threshold) — NOT toLocalIterator,
-    # which executes one sequential job per partition and anti-scales
-    # with the session's parallelism
-    for a, b in edges.select(src, dst).collect():
+    # the caller hands the (bounded) collected edge list — NOT
+    # toLocalIterator, which executes one sequential job per partition
+    # and anti-scales with the session's parallelism
+    for a, b in rows:
         ra, rb = find(a), find(b)
         if ra != rb:
             # union by min so the root IS the representative
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    rows = [(v, find(v)) for v in parent]
-    return edges.sparkSession.createDataFrame(rows, "vertex string, component string")
+    out = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(out, "vertex string, component string")
 
 
 def _large_small_star(

@@ -262,7 +262,14 @@ class KGPipeline:
             self._rows.setdefault(name, -1)
             self._lineage_rows.append((name, path, -1, 0.0))
             return self.writer.read(path)
-        return self._write(builder(), name, partition_by)
+        # label every job of this commit (guide §1.5); thread-local, so
+        # concurrent pool commits are each labeled correctly
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"kg:{name}")
+        try:
+            return self._write(builder(), name, partition_by)
+        finally:
+            sc.setJobDescription(None)
 
     def _dim_hint(self, df: DataFrame, *dims: str,
                   row_factor: int = 1) -> DataFrame:
@@ -513,42 +520,46 @@ class KGPipeline:
                         F.lit(None).cast("string").alias("url"),
                     )
                 )
-                return struct_nodes.unionByName(ents).dropDuplicates(["id"])
-
-            _p4_pins: list = []
+                # no union-wide id-dedup exchange: struct_nodes is
+                # internally duplicate-free by construction (see
+                # structure_graph), ents is distinct on canonical, and the
+                # two id namespaces are disjoint (ids hash label|name and
+                # the label sets don't overlap) — the dropDuplicates here
+                # was a full nodes-scale shuffle that removed nothing
+                # (oracle-verified).
+                return struct_nodes.unionByName(ents)
 
             def p4_edges():
-                # pinned: the LINKS_TO branch joins this twice (source +
-                # target endpoint) and MENTIONS once — one page-partition
-                # scan + md5 pass instead of three
-                page_ids = pages_text.select(
-                    "url", node_id("Page", F.col("url")).alias("page_id")) \
-                    .persist()
-                _p4_pins.append(page_ids)
-                # LINKS_TO: page -> page (IMPORTS analogue, endpoint join J4);
-                # relative hrefs are normalized against the source page first
-                # (P7, reference import-processor.ts:522-606)
+                # page ids are content hashes of the url, so the src sides
+                # compute them INLINE (mention/link source urls are corpus
+                # pages by construction — the old page_ids join was a pure
+                # id lookup, two page-scale joins + a pin for nothing);
+                # only the link-TARGET side needs the page table: an inner
+                # join that both filters dangling targets and supplies the
+                # target id (J4; relative hrefs normalized against the
+                # source page first — P7, import-processor.ts:522-606).
                 from ..operators.structure import normalize_link_targets
+                page_ids = pages_text.select(
+                    F.col("url").alias("target_url"),
+                    node_id("Page", F.col("url")).alias("target_id"))
                 lt = (
                     normalize_link_targets(page_links)
-                    .join(page_ids, "url")
-                    .join(page_ids.withColumnRenamed("url", "target_url")
-                                  .withColumnRenamed("page_id", "target_id"),
-                          "target_url", "inner")
+                    .join(page_ids, "target_url", "inner")
                     .select(F.lit("LINKS_TO").alias("type"),
-                            F.col("page_id").alias("src"),
+                            node_id("Page", F.col("url")).alias("src"),
                             F.col("target_id").alias("dst"),
                             F.lit(1.0).alias("confidence"))
+                    .dropDuplicates(["type", "src", "dst"])
                 )
                 # MENTIONS: page -> canonical entity (DEFINES analogue)
                 men = (
                     mentions.join(self._dim_hint(canon, "canonical_map"),
                                   "name", "left")
-                    .join(page_ids, "url")
                     .select(F.lit("MENTIONS").alias("type"),
-                            F.col("page_id").alias("src"),
+                            node_id("Page", F.col("url")).alias("src"),
                             node_id("Entity", F.coalesce("canonical", "name")).alias("dst"),
                             F.lit(1.0).alias("confidence"))
+                    .dropDuplicates(["type", "src", "dst"])
                 )
                 # predicate edges: entity -> entity (CALLS analogue); only fully
                 # resolved triples become edges (ref: unresolved calls are counted,
@@ -561,12 +572,18 @@ class KGPipeline:
                             node_id("Entity", F.col("subj")).alias("src"),
                             node_id("Entity", F.col("obj")).alias("dst"),
                             "confidence")
+                    .dropDuplicates(["type", "src", "dst"])
                 )
+                # per-branch dedup == the old union-wide dedup: the four
+                # branches are type-disjoint (CONTAINS / LINKS_TO /
+                # MENTIONS / upper(PRED_VOCAB)) and struct_edges is
+                # duplicate-free by construction — three smaller parallel
+                # exchanges replace one union-wide exchange, and the
+                # struct branch is never shuffled at all.
                 return (
                     struct_edges.select("type", "src", "dst",
                                         F.lit(1.0).alias("confidence"))
                     .unionByName(lt).unionByName(men).unionByName(pe)
-                    .dropDuplicates(["type", "src", "dst"])
                     .select(edge_id(F.col("type"), F.col("src"), F.col("dst")).alias("id"),
                             "type", "src", "dst", "confidence")
                 )
@@ -581,8 +598,6 @@ class KGPipeline:
             nodes, edges = f_nodes.result(), f_edges.result()
             if _m:  # release the exact-map pin (commits all landed)
                 _m[0].unpersist()
-            for df in _p4_pins:
-                df.unpersist()
 
         if self.optimize_layout:
             self._optimize_layout(nodes, edges)
