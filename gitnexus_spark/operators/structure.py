@@ -9,8 +9,10 @@ same inference runs as a single Catalyst expression chain:
 split the URL path, posexplode cumulative prefixes, dedupe.
 
 Everything is built-in DataFrame ops — no UDFs, fully codegen'd, and the
-only shuffles are the two ``dropDuplicates`` (hash aggregates), keyed on
-the node id so they partition evenly at 10^12-page scale.
+only shuffles are the host and section ``dropDuplicates`` (hash
+aggregates), keyed on the node id so they partition evenly at
+10^12-page scale; the deepest-container edge is scan-local (the deepest
+prefix is just the joined dir path every row already carries).
 """
 
 from __future__ import annotations
@@ -111,7 +113,10 @@ def structure_graph(pages: DataFrame,
         F.col("url"),
     )
 
-    # Domain nodes (dedup on host)
+    # Domain nodes (dedup on host) — persisted alongside the explode
+    # caches when the caller asks: the Corpus->Domain edge branch reads
+    # the SAME distinct-host set, so without the pin the corpus-scale
+    # host dedup exchange runs once per write (nodes AND edges).
     domain_nodes = (
         p.select("host").dropDuplicates(["host"])
         .select(
@@ -121,6 +126,9 @@ def structure_graph(pages: DataFrame,
             F.lit(None).cast("string").alias("url"),
         )
     )
+    if cache_handles is not None:
+        domain_nodes = domain_nodes.persist()
+        cache_handles.append(domain_nodes)
 
     # Section nodes: every cumulative dir prefix of the path, per host.
     # path "/a/b/c.html" -> segments [a, b]; prefixes "/a", "/a/b".
@@ -128,13 +136,13 @@ def structure_graph(pages: DataFrame,
         "url", "host",
         F.expr("slice(split(path, '/'), 2, greatest(size(split(path,'/')) - 2, 0))").alias("dirs"),
     )
-    # null-prefix rows (urls with no dirs) are KEPT: `deepest` below then
-    # covers every url, so the Domain-fallback parent needs no join back
-    # onto the page table (one fewer page-scale shuffle join); the
-    # section consumers filter the nulls out instead.
+    # dir-less urls contribute no prefix rows (plain posexplode): every
+    # remaining consumer is section-scoped — the deepest-container edge
+    # below is computed scan-locally from `dirs` itself, so the old
+    # null-prefix carrier rows have no reader left.
     prefixes = segs.select(
         "url", "host",
-        F.posexplode_outer(
+        F.posexplode(
             F.expr("transform(dirs, (d, i) -> concat_ws('/', slice(dirs, 1, i + 1)))")
         ).alias("depth", "prefix"),
     )
@@ -143,17 +151,24 @@ def structure_graph(pages: DataFrame,
         cache_handles.append(prefixes)
 
     section_key = F.concat_ws("/", F.col("host"), F.col("prefix"))
-    section_nodes = (
-        prefixes.filter(F.col("prefix").isNotNull())
-        .select(section_key.alias("skey"),
-                F.element_at(F.split("prefix", "/"), -1).alias("name"))
-        .dropDuplicates(["skey"])
-        .select(
-            node_id("Section", F.col("skey")).alias("id"),
-            F.lit("Section").alias("label"),
-            "name",
-            F.lit(None).cast("string").alias("url"),
-        )
+    # ONE corpus-scale section dedup: `sec` (one row per section id, with
+    # host/prefix/depth — all functionally determined by the id) feeds the
+    # section NODES and both section edge branches; the separate
+    # dropDuplicates(skey) pass the nodes branch ran was the same
+    # exchange a second time (sid = hash(skey) bijectively).
+    sec = prefixes.select(
+        "host", "prefix", "depth",
+        node_id("Section", section_key).alias("sid"),
+    ).dropDuplicates(["sid"])
+    if cache_handles is not None:
+        sec = sec.persist()
+        cache_handles.append(sec)
+
+    section_nodes = sec.select(
+        F.col("sid").alias("id"),
+        F.lit("Section").alias("label"),
+        F.element_at(F.split("prefix", "/"), -1).alias("name"),
+        F.lit(None).cast("string").alias("url"),
     )
 
     corpus_node = page_nodes.sparkSession.range(1).select(
@@ -174,13 +189,6 @@ def structure_graph(pages: DataFrame,
     )
 
     # Domain -> first Section; Section -> child Section (parent = prefix minus last seg)
-    sec = prefixes.filter(F.col("prefix").isNotNull()).select(
-        "host", "prefix", "depth",
-        node_id("Section", section_key).alias("sid"),
-    ).dropDuplicates(["sid"])
-    if cache_handles is not None:
-        sec = sec.persist()
-        cache_handles.append(sec)
     e_ds = sec.filter(F.col("depth") == 0).select(
         F.lit("CONTAINS").alias("type"),
         node_id("Domain", F.col("host")).alias("src"),
@@ -196,18 +204,17 @@ def structure_graph(pages: DataFrame,
     )
 
     # deepest container -> Page (Domain when the path has no dirs).
-    # prefixes keeps a null row for dir-less urls, so the aggregation
-    # covers EVERY page and no join back onto the page table is needed.
-    deepest = (
-        prefixes.groupBy("url", "host").agg(
-            F.max_by("prefix", "depth").alias("prefix")
-        )
-    )
-    page_parent = deepest.select(
+    # The deepest prefix IS the full dir path (concat_ws of `dirs`), so
+    # this branch is computed scan-locally from segs — the old
+    # explode + groupBy(url).max_by(depth) was a corpus-scale exchange
+    # recomputing a value each input row already holds.
+    page_parent = segs.select(
         F.lit("CONTAINS").alias("type"),
         F.when(
-            F.col("prefix").isNotNull(),
-            node_id("Section", F.concat_ws("/", F.col("host"), F.col("prefix"))),
+            F.size("dirs") > 0,
+            node_id("Section",
+                    F.concat_ws("/", F.col("host"),
+                                F.concat_ws("/", F.col("dirs")))),
         ).otherwise(node_id("Domain", F.col("host"))).alias("src"),
         node_id("Page", F.col("url")).alias("dst"),
     )
@@ -215,7 +222,7 @@ def structure_graph(pages: DataFrame,
     # no dedup exchange: the four branches are pairwise-disjoint and each
     # internally duplicate-free by construction (e_cd from distinct
     # hosts, e_ds/e_ss keyed by the deduped section id, page_parent one
-    # row per (url, host) from the groupBy) — a dropDuplicates here was a
+    # row per url of the url-keyed input) — a dropDuplicates here was a
     # full edge-scale exchange that removed nothing (oracle-verified).
     edges = (
         e_cd.unionByName(e_ds).unionByName(e_ss).unionByName(page_parent)
