@@ -181,7 +181,11 @@ def _merge_local(local: DataFrame, k: int, q_id_col: str,
                  id_col: str) -> DataFrame:
     """Final merge over the ≤ #partitions x #queries x k phase-1
     survivors (shared by the expression path and the fused Arrow
-    scorer)."""
+    scorers). array_distinct before the slice: candidates for the same
+    (query, id) pair are EXACT struct duplicates when they occur at all
+    (deterministic rounded score) — the at-rest IVF layout stores a
+    2-way-assigned vector as two rows in different cell partitions, so
+    its phase-1 survivors can repeat; everywhere else this is a no-op."""
     item = F.struct(
         (-F.col("score")).alias("neg"),
         F.col(id_col).alias("id"),
@@ -189,7 +193,8 @@ def _merge_local(local: DataFrame, k: int, q_id_col: str,
     )
     merged = (
         local.groupBy(q_id_col)
-        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top"))
+        .agg(F.slice(F.array_distinct(F.sort_array(F.collect_list(item))),
+                     1, k).alias("top"))
     )
     return merged.select(
         q_id_col, F.posexplode("top").alias("rank0", "c")
@@ -367,6 +372,164 @@ def _assign_cells(df: DataFrame, leader_rows: list, n_top: int,
     return src.mapInPandas(run, schema=schema)
 
 
+def _probe_cells_local(query_rows: list, leader_rows: list,
+                       n_probe: int) -> list:
+    """Driver-side twin of _assign_cells for the small-by-contract query
+    set: same sorted-leader matrix, same bit-exact fold, same stable
+    argsort on negated scores (ties cell_id ASC, NaN last). Returns
+    [(q_id, [cell_id, ...])] in input order — no distributed pass, no
+    broadcast build job for a handful of query rows."""
+    import numpy as np
+
+    rows = sorted([(r[0], r[1]) for r in leader_rows], key=lambda r: r[0])
+    cell_ids = [r[0] for r in rows]
+    L = np.array([r[1] for r in rows], dtype=np.float64)
+    n_eff = min(n_probe, len(rows))
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in query_rows])
+    neg = -_fold_cosine_matrix(Q, L, np)
+    top = np.argsort(neg, axis=1, kind="stable")[:, :n_eff]
+    return [(query_rows[i][0], [cell_ids[c] for c in top[i]])
+            for i in range(len(query_rows))]
+
+
+def _ivf_fused_topk(corpus: DataFrame, leader_rows: list, query_rows: list,
+                    probe_sets: list, n_assign: int, k: int,
+                    id_col: str, vec_col: str, q_id_col: str,
+                    q_id_type) -> DataFrame:
+    """ONE Arrow pass fusing cell assignment, probe gating, bit-exact
+    scoring and per-partition top-k (guide §4.1/§4.2): for each corpus
+    row, compute its n_assign argmax cells (same stable-argsort rule as
+    _assign_cells), take the union of queries probing those cells, and
+    score each such (row, query) pair ONCE with the sequential-fold
+    cosine + HALF_UP round twin. A pair survives iff the row's assigned
+    cells intersect the query's probe cells — exactly the membership the
+    old assigned ⋈ broadcast(probes) join computed — and since each
+    corpus row lives in one partition and is scored once per query, the
+    2-way-assignment dedup exchange disappears with no replacement.
+    Emits ≤ #partitions x #queries x k rows; the query set is
+    small-by-contract (it already rides the task closure)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..plans.hints import spread_small_input
+
+    lrows = sorted([(r[0], r[1]) for r in leader_rows], key=lambda r: r[0])
+    cell_ids = [r[0] for r in lrows]
+    L = np.array([r[1] for r in lrows], dtype=np.float64)
+    n_assign_eff = min(n_assign, len(lrows))
+
+    qrows = sorted(query_rows, key=lambda r: r[0])
+    q_ids = [r[0] for r in qrows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_index = {q: i for i, q in enumerate(q_ids)}
+    cell_to_q: dict = {}
+    for q_id, cells in probe_sets:
+        for c in cells:
+            cell_to_q.setdefault(c, []).append(q_index[q_id])
+    cell_pos_to_q = [cell_to_q.get(c, ()) for c in cell_ids]
+
+    src = spread_small_input(corpus.select(id_col, vec_col))
+    id_field = src.schema[id_col]
+    schema = StructType([StructField(q_id_col, q_id_type),
+                         id_field,
+                         StructField("score", DoubleType())])
+
+    def run(it):
+        best: dict = {}  # q_id -> list[(neg_rounded, id)]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            negL = -_fold_cosine_matrix(V, L, np)
+            top = np.argsort(negL, axis=1, kind="stable")[:, :n_assign_eff]
+            S = _fold_cosine_matrix(V, Q, np)
+            ids = list(pdf[id_col])
+            for i, rid in enumerate(ids):
+                hit: set = set()
+                for c in top[i]:
+                    hit.update(cell_pos_to_q[c])
+                for qi in hit:
+                    s = S[i, qi]
+                    if math.isnan(s):
+                        continue
+                    lst = best.setdefault(q_ids[qi], [])
+                    lst.append((-_round6_spark(float(s)), rid))
+                    if len(lst) >= 4 * k:  # exact compaction: the trim
+                        lst.sort()         # comparator IS the final one
+                        del lst[k:]
+        out = []
+        for q, lst in best.items():
+            lst.sort()
+            for neg, i in lst[:k]:
+                out.append((q, i, -neg + 0.0))
+        yield pd.DataFrame(out, columns=[q_id_col, id_col, "score"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def _ivf_score_assigned(assigned: DataFrame, query_rows: list,
+                        probe_sets: list, k: int, id_col: str,
+                        vec_col: str, q_id_col: str, q_id_type) -> DataFrame:
+    """Arrow scorer for an AT-REST (cell_id, id, vec) scan already pruned
+    to the probe cells: each row is scored against the queries probing
+    its stored cell_id (bit-exact fold + HALF_UP round, per-partition
+    top-k under the final comparator). No broadcast join, no interpreted
+    per-candidate lambda, no dedup exchange."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = sorted(query_rows, key=lambda r: r[0])
+    q_ids = [r[0] for r in qrows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_index = {q: i for i, q in enumerate(q_ids)}
+    cell_to_q: dict = {}
+    for q_id, cells in probe_sets:
+        for c in cells:
+            cell_to_q.setdefault(c, []).append(q_index[q_id])
+
+    src = assigned.select("cell_id", id_col, vec_col)
+    id_field = src.schema[id_col]
+    schema = StructType([StructField(q_id_col, q_id_type),
+                         id_field,
+                         StructField("score", DoubleType())])
+
+    def run(it):
+        best: dict = {}  # q_id -> list[(neg_rounded, id)]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            S = _fold_cosine_matrix(V, Q, np)
+            ids = list(pdf[id_col])
+            cells = list(pdf["cell_id"])
+            for i, rid in enumerate(ids):
+                for qi in cell_to_q.get(cells[i], ()):
+                    s = S[i, qi]
+                    if math.isnan(s):
+                        continue
+                    lst = best.setdefault(q_ids[qi], [])
+                    lst.append((-_round6_spark(float(s)), rid))
+                    if len(lst) >= 4 * k:
+                        lst.sort()
+                        del lst[k:]
+        out = []
+        for q, lst in best.items():
+            lst.sort()
+            for neg, i in lst[:k]:
+                out.append((q, i, -neg + 0.0))
+        yield pd.DataFrame(out, columns=[q_id_col, id_col, "score"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def ivf_assign(corpus: DataFrame, n_cells: int | None = None,
                id_col: str = "vec_id", vec_col: str = "embedding",
                n_assign: int = 1,
@@ -490,20 +653,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if leader_rows is None:
         leader_rows = select_leaders(corpus, n_cells, id_col, vec_col,
                                      n_rows=n_rows).collect()
-    leaders, assigned = ivf_assign(corpus, n_cells, id_col, vec_col,
-                                   n_assign=n_assign, leader_rows=leader_rows)
-    probes = _assign_cells(queries, leader_rows, n_probe, q_id_col, q_vec_col)
-    cand = assigned.join(F.broadcast(probes), "cell_id")
-    # score while the broadcast join is still scan-local, THEN dedup the
-    # 2-way-assignment repeats: the dedup exchange carries (q_id, id,
-    # score) instead of both embedding payloads, and no interpreted
-    # aggregate/zip_with lambda runs per candidate (duplicate pairs score
-    # identically, so dedup-after-scoring is value-identical).
-    scored = (cand.withColumn("score",
-                              F.round(cosine_expr(vec_col, q_vec_col), 6))
-              .select(q_id_col, id_col, "score")
-              .dropDuplicates([q_id_col, id_col]))
-    return _topk_merge(scored, k, q_id_col, id_col)
+    # fully fused probe/score/top-k (guide §4.1/§4.2): the query probe
+    # cells are computed driver-side (_probe_cells_local — the query set
+    # is small by contract), then ONE Arrow corpus pass assigns cells,
+    # gates on the probe map and scores each surviving (row, query) pair
+    # once with the bit-exact fold + HALF_UP round twin. Replaces the
+    # separate assignment scan, probe broadcast build, interpreted
+    # aggregate/zip_with cosine per candidate, and the 2-way-assignment
+    # dedup exchange (each row is scored once per query here).
+    q_rows = [(r[0], r[1]) for r in
+              queries.select(q_id_col, q_vec_col).collect()]
+    q_id_type = queries.schema[q_id_col].dataType
+    probe_sets = _probe_cells_local(q_rows, leader_rows, n_probe)
+    local = _ivf_fused_topk(corpus, leader_rows, q_rows, probe_sets,
+                            n_assign, k, id_col, vec_col, q_id_col,
+                            q_id_type)
+    return _merge_local(local, k, q_id_col, id_col)
 
 
 def write_ivf_index(corpus: DataFrame, path: str,
@@ -541,25 +706,24 @@ def ivf_topk_at_rest(spark, path: str, queries: DataFrame, k: int = 10,
     leader_rows = spark.read.parquet(os.path.join(path, "leaders")).collect()
     if n_probe is None:
         n_probe = default_n_probe(len(leader_rows))
-    # One probe-assignment pass total: collect the (small-by-contract)
-    # assigned query rows once, derive the pruning cell set locally, and
-    # rebuild the broadcast side from the collected rows — the lazy
-    # re-evaluation that ran _assign_cells twice (distinct-collect, then
-    # again inside the join) is gone (r3 ADVICE).
-    assigned_q = _assign_cells(queries, leader_rows, n_probe,
-                               q_id_col, q_vec_col)
-    probe_rows = assigned_q.collect()
-    probe_cells = sorted({r["cell_id"] for r in probe_rows})
-    probes = spark.createDataFrame(probe_rows, assigned_q.schema)
+    # probe cells computed driver-side (query set small by contract),
+    # pushed as the static partition filter, then ONE Arrow pass over
+    # the pruned scan scores each row against the queries probing its
+    # STORED cell (same bit-exact fold/round as ivf_topk) with
+    # per-partition top-k. A 2-way-assigned vector stored under two
+    # probed cells yields exact duplicate candidates in different
+    # partitions — removed by _merge_local's array_distinct, which is
+    # what the old dropDuplicates exchange did.
+    q_rows = [(r[0], r[1]) for r in
+              queries.select(q_id_col, q_vec_col).collect()]
+    q_id_type = queries.schema[q_id_col].dataType
+    probe_sets = _probe_cells_local(q_rows, leader_rows, n_probe)
+    probe_cells = sorted({c for _, cells in probe_sets for c in cells})
     assigned = spark.read.parquet(os.path.join(path, "assigned")) \
         .filter(F.col("cell_id").isin(probe_cells))
-    cand = assigned.join(F.broadcast(probes), "cell_id")
-    # same fused rowwise scorer as ivf_topk: narrow dedup exchange
-    scored = (cand.withColumn("score",
-                              F.round(cosine_expr(vec_col, q_vec_col), 6))
-              .select(q_id_col, id_col, "score")
-              .dropDuplicates([q_id_col, id_col]))
-    return _topk_merge(scored, k, q_id_col, id_col)
+    local = _ivf_score_assigned(assigned, q_rows, probe_sets, k,
+                                id_col, vec_col, q_id_col, q_id_type)
+    return _merge_local(local, k, q_id_col, id_col)
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
