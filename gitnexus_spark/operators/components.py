@@ -44,17 +44,29 @@ def connected_components(
     distributed large-star/small-star loop takes over — identical
     results, O(log n) rounds.
     """
-    # ONE bounded probe replaces the count-gate + collect double execution
-    # of the edge plan: at most threshold+1 narrow rows both decide the
-    # path and, in the under-gate case, already hold the whole edge set
-    # for the driver union-find (guide §1.2 — each extra action on this
-    # chain is a full re-run of the coreference-edge plan).
-    head = edges.select(src, dst).limit(driver_threshold + 1).collect()
-    if not head:
-        return edges.sparkSession.createDataFrame([], "vertex string, component string")
-    if len(head) <= driver_threshold:
-        return _union_find_rows(edges.sparkSession, head)
-    return _large_small_star(edges, src, dst, max_iter, stats)
+    # The count gate and the follow-up action (collect / first star
+    # round) would each execute the edge plan; pin it across the two
+    # unless the caller already did (dedup.py pins). A limit(T+1) probe
+    # was measured WORSE here: CollectLimit's incremental escalation ran
+    # 8 partial jobs over the multi-stage banding plan (guide §1.2 —
+    # per-job latency is the cost term on this chain).
+    e = edges.select(src, dst)
+    caller_pinned = edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    if not caller_pinned:
+        e = e.persist()
+    try:
+        n_edges = e.count()
+        if n_edges == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "vertex string, component string")
+        if n_edges <= driver_threshold:
+            return _union_find_rows(edges.sparkSession, e.collect())
+        # _large_small_star eagerly checkpoints its input on entry, so
+        # the pin is releasable as soon as it returns
+        return _large_small_star(e, src, dst, max_iter, stats)
+    finally:
+        if not caller_pinned:
+            e.unpersist()
 
 
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
