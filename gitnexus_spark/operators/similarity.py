@@ -737,18 +737,68 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     both leaders still co-occur) — the embedding analogue of LSH banding.
     Raise recall further by lowering n_cells.
     """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     _, assigned = ivf_assign(corpus, n_cells, id_col, vec_col, n_assign=2)
-    a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell_id")
-    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell_id")
-    # score + threshold BEFORE the pair dedup: duplicate (id_a, id_b)
-    # rows (2-way assignment) carry identical vectors, so the filter
-    # commutes with the dedup — the dedup exchange then carries only
-    # above-threshold (id_a, id_b, score) rows, not embedding payloads.
+    id_type = assigned.schema[id_col].dataType
+    schema = StructType([StructField("id_a", id_type),
+                         StructField("id_b", id_type),
+                         StructField("score", DoubleType())])
+    # Grouped Arrow scorer instead of the co-cell self-join: ONE exchange
+    # of (id, vec) keyed by cell (the join shuffled the vectors twice and
+    # ran an interpreted aggregate/zip_with fold per PAIR — guide §4.1),
+    # then a blocked in-cell cosine matrix with the bit-exact sequential
+    # fold. The HALF_UP 6dp round is applied only to pairs surviving a
+    # vectorized `>= threshold - 1e-6` pre-filter (safe: round6(s) >= t
+    # implies s >= t - 5e-7), so the per-element Decimal twin runs on the
+    # sparse near-dup set, not the full matrix. Emission is (id_a < id_b,
+    # rounded score) exactly as before; cross-cell duplicate pairs (2-way
+    # assignment) still carry identical values and die in the same narrow
+    # dropDuplicates. A degenerate hot cell is the algorithm's inherent
+    # O(k^2) case in either plan; cells are balanced by the uniform
+    # hash-sampled leaders.
+    guard = threshold - 1e-6
+    BLOCK = 2048
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        ids = list(pdf[id_col])
+        V = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for i0 in range(0, n, BLOCK):
+            Vi = V[i0:i0 + BLOCK]
+            for j0 in range(i0, n, BLOCK):
+                S = _fold_cosine_matrix(Vi, V[j0:j0 + BLOCK], np)
+                with np.errstate(invalid="ignore"):
+                    mask = S >= guard          # False where NaN
+                if j0 == i0:                   # strict upper triangle
+                    mask &= np.triu(np.ones(S.shape, dtype=bool), k=1)
+                for ii, jj in np.argwhere(mask):
+                    s = S[ii, jj]
+                    if math.isnan(s):
+                        continue
+                    s6 = _round6_spark(float(s))
+                    if s6 >= threshold:
+                        a, b = ids[i0 + ii], ids[j0 + jj]
+                        if a > b:
+                            a, b = b, a
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_s.append(s6)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
+
     return (
-        a.join(b, "cell_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine_expr("va", "vb"), 6))
-        .filter(F.col("score") >= threshold)
+        assigned.select("cell_id", id_col, vec_col)
+        .groupBy("cell_id").applyInPandas(score_cell, schema)
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "score")
     )
