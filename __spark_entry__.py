@@ -2579,7 +2579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_distance": q_url_distance,
         "normalize_links": q_normalize_links,
         "url_functions": q_url_functions,
-        "salted_agg": q_salted_agg,
+        # kg_entities swapped in for salted_agg (r6 follow-up): its plan
+        # changed this round (CC gate pin), so it must sit inside the
+        # driver window; salted_agg is unchanged since round 2, r6
+        # driver-green, and stays green in the committed local record.
+        "kg_entities": q_kg_entities,
         "quality_filter": q_quality_filter,
         "minhash_signatures": q_minhash_signatures,
         "collect_agg": q_collect_agg,
@@ -2641,7 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_raw": q_kg_triples_raw,
         "kg_triples_resolved": q_kg_triples_resolved,
         "kg_linking_stages": q_kg_linking_stages,
-        "kg_entities": q_kg_entities,
+        "salted_agg": q_salted_agg,
         "kg_links": q_kg_links,
         "kg_fuzzy_locality": q_kg_fuzzy_locality,
         "kg_search_indexed": q_kg_search_indexed,

@@ -150,8 +150,16 @@ def might_contain(df: DataFrame, key_col: str, bloom: bytes,
 
 def _prepared_keys(small: DataFrame, on: str, fpp: float):
     """Distinct non-null key dimension + its bloom. One count job sizes
-    the filter (the dimension is scanned anyway to build it)."""
-    keys = small.select(on).where(F.col(on).isNotNull()).distinct()
+    the filter (the dimension is scanned anyway to build it).
+
+    localCheckpoint: the sizing count, the bloom-build scan and the
+    exact-join side all consume this plan — without the pin the
+    scan+distinct executed three times per call (guide §1.2). Eager, so
+    the single materialization job doubles as the count's input; blocks
+    free when the returned plan is garbage-collected (same lifetime as
+    the bloom broadcast below)."""
+    keys = small.select(on).where(F.col(on).isNotNull()).distinct() \
+        .localCheckpoint()
     n = keys.count()
     num_bits, num_hashes = bloom_params(n, fpp)
     bloom = build_bloom(keys, on, num_bits, num_hashes)
