@@ -159,13 +159,16 @@ def _bucketed_match(u: DataFrame, on: list[str], ts_type: T.DataType,
     sec = _event_seconds(ts_type, F.col("_ts"), "_ts")
     u = u.withColumn("_bucket", F.floor(sec / F.lit(bucket_s)))
 
+    # ONE fact-scale exchange builds the whole summary: grouping ALL
+    # rows by (key, bucket) with a right-side-only conditional aggregate
+    # yields exactly `distinct buckets present LEFT JOIN right tails`
+    # (max/min ignore the NULL the when() gives left rows) — the
+    # separate buckets_present distinct (a second fact-scale exchange)
+    # and the summary join are gone (guide §2.4).
     tail_struct = F.struct(F.col("_ts"), F.col("_rv"))
-    tail_agg = (F.max(tail_struct) if backward else F.min(tail_struct))
-    tails = (u.filter(F.col("_side") == 0)
-             .groupBy(*on, "_bucket")
-             .agg(tail_agg.alias("_tail")))
-    buckets_present = u.select(*on, "_bucket").distinct()
-    summ = buckets_present.join(tails, [*on, "_bucket"], "left")
+    right_tail = F.when(F.col("_side") == 0, tail_struct)
+    tail_agg = (F.max(right_tail) if backward else F.min(right_tail))
+    summ = u.groupBy(*on, "_bucket").agg(tail_agg.alias("_tail"))
 
     bucket_order = F.col("_bucket").asc() if backward else F.col("_bucket").desc()
     w_carry = (Window.partitionBy(*on).orderBy(bucket_order)
